@@ -1,0 +1,327 @@
+"""Per-hit alignment log-likelihood (conprb) kernels.
+
+The reference computes conprb per (read, hit) in nested C++ loops
+(SingleModel.h:95-146, PairedEndQModel.h:94-138). Here every hit is a lane of
+a flat vectorized computation in log space: float32 log-probabilities remain
+exact far below the linear-float32 underflow point, so the reference's
+EPSILON=1e-300 cutoffs translate to a -690.776 logit cutoff.
+
+All kernels process hits in fixed-size chunks via lax.map to bound peak
+memory at [CHUNK, max_read_len] regardless of dataset size.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .layout import HitsDevice, KernelConfig, ReadsDevice, RefDevice
+
+NEG_INF = -jnp.inf
+LOG_EPS = math.log(1e-300)  # reference EPSILON cutoff, in logits
+CHUNK = 16384
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pad_chunk(arr: jnp.ndarray, n: int, fill) -> jnp.ndarray:
+    if arr.shape[0] == n:
+        return arr
+    pad_width = [(0, n - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+    return jnp.pad(arr, pad_width, constant_values=fill)
+
+
+def map_hit_chunks(fn, n: int, arrays: Tuple[jnp.ndarray, ...], chunk: int = CHUNK):
+    """Apply fn over [chunk]-sized slices of flat per-hit arrays; returns the
+    concatenated [n] (or tuple of [n]) results."""
+    n_pad = max(_ceil_to(n, chunk), chunk)
+    reshaped = tuple(
+        _pad_chunk(a, n_pad, 0).reshape((n_pad // chunk, chunk) + a.shape[1:])
+        for a in arrays
+    )
+    out = jax.lax.map(fn, reshaped)
+    if isinstance(out, tuple):
+        return tuple(o.reshape((n_pad,) + o.shape[2:])[:n] for o in out)
+    return out.reshape((n_pad,) + out.shape[2:])[:n]
+
+
+# --------------------------------------------------------------------- #
+# distribution lookups (vector, log and linear)                          #
+# --------------------------------------------------------------------- #
+def log_lendist_adjusted(log_pdf, log_cdf, lb: int, ub: int, length, refL):
+    """log of LenDist::getAdjustedProb (LenDist.h:63-70)."""
+    span = ub - lb
+    valid = (length > lb) & (length <= ub) & (refL > lb)
+    denom = log_cdf[jnp.clip(jnp.minimum(ub, refL) - lb, 0, span)]
+    num = log_pdf[jnp.clip(length - lb, 0, span)]
+    out = num - denom
+    return jnp.where(valid & (num > NEG_INF) & (denom > NEG_INF), out, NEG_INF)
+
+
+def lin_lendist_adjusted(pdf, cdf, lb: int, ub: int, length, refL):
+    span = ub - lb
+    valid = (length > lb) & (length <= ub) & (refL > lb)
+    denom = cdf[jnp.clip(jnp.minimum(ub, refL) - lb, 0, span)]
+    num = pdf[jnp.clip(length - lb, 0, span)]
+    return jnp.where(valid & (denom > 0), num / jnp.where(denom == 0, 1.0, denom), 0.0)
+
+
+def log_lendist_pdf(log_pdf, lb: int, ub: int, length):
+    """log of LenDist::getProb."""
+    span = ub - lb
+    valid = (length > lb) & (length <= ub)
+    return jnp.where(valid, log_pdf[jnp.clip(length - lb, 0, span)], NEG_INF)
+
+
+def rspd_eval_cdf(rspd_pdf, rspd_cdf, B: int, fpos, full_len):
+    """RSPD::evalCDF linear interpolation (RSPD.h:63-68)."""
+    i = (fpos.astype(jnp.int32) * B) // full_len.astype(jnp.int32)
+    val = fpos.astype(jnp.float32) / full_len.astype(jnp.float32) * B
+    return rspd_cdf[i] + (val - i.astype(jnp.float32)) * rspd_pdf[i + 1]
+
+
+def lin_rspd_adjusted(cfg: KernelConfig, rspd_pdf, rspd_cdf, fpos, effL, full_len):
+    """RSPD::getAdjustedProb (RSPD.h:70-75); out-of-support positions -> 0."""
+    ok = (fpos >= 0) & (fpos < full_len) & (effL >= 1)
+    if not cfg.est_rspd:
+        return jnp.where(ok, 1.0 / jnp.maximum(effL, 1).astype(jnp.float32), 0.0)
+    fpos_c = jnp.clip(fpos, 0, full_len - 1)
+    effL_c = jnp.clip(effL, 1, full_len)
+    denom = rspd_eval_cdf(rspd_pdf, rspd_cdf, cfg.B, effL_c, full_len)
+    num = rspd_eval_cdf(
+        rspd_pdf, rspd_cdf, cfg.B, fpos_c + 1, full_len
+    ) - rspd_eval_cdf(rspd_pdf, rspd_cdf, cfg.B, fpos_c, full_len)
+    out = jnp.where(denom > 0, num / jnp.where(denom == 0, 1.0, denom), 0.0)
+    return jnp.where(ok, out, 0.0)
+
+
+def _safe_log(x):
+    return jnp.where(x > 0, jnp.log(jnp.where(x > 0, x, 1.0)), NEG_INF)
+
+
+# --------------------------------------------------------------------- #
+# profile index computation (shared by conprb and suffstats)             #
+# --------------------------------------------------------------------- #
+def profile_indices(
+    cfg: KernelConfig,
+    ref: RefDevice,
+    read_codes: jnp.ndarray,  # [C, L] gathered rows
+    read_quals: Optional[jnp.ndarray],
+    read_lens: jnp.ndarray,  # [C]
+    sid: jnp.ndarray,
+    pos: jnp.ndarray,
+    dirs: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Flat indices into the (pro_len*5*5) profile table per (hit, read
+    position), plus a validity mask. Mirrors Profile/QProfile::getProb's
+    ref.get_id(i+pos, dir) walk (RefSeq.h:99-104)."""
+    L = cfg.max_read_len
+    j = jnp.arange(L, dtype=jnp.int32)[None, :]
+    off = ref.offsets[sid][:, None]
+    tl = ref.tot_len[sid][:, None]
+    posc = pos[:, None]
+    fwd = off + posc + j
+    rev = off + tl - 1 - posc - j
+    ridx = jnp.where(dirs[:, None] == 1, rev, fwd)
+    ridx = jnp.clip(ridx, 0, ref.codes.shape[0] - 1)
+    refc = jnp.take(ref.codes, ridx).astype(jnp.int32)
+    refc = jnp.where(
+        dirs[:, None] == 1, jnp.where(refc < 4, 3 - refc, refc), refc
+    )
+    readc = read_codes.astype(jnp.int32)
+    if cfg.has_qual:
+        key = read_quals.astype(jnp.int32)
+    else:
+        key = jnp.broadcast_to(j, readc.shape)
+    flat = (key * 5 + refc) * 5 + readc
+    valid = j < read_lens[:, None]
+    return flat, valid
+
+
+def _profile_logprob(cfg, log_pro_flat, ref, read_codes, read_quals, read_lens,
+                     sid, pos, dirs):
+    flat, valid = profile_indices(
+        cfg, ref, read_codes, read_quals, read_lens, sid, pos, dirs
+    )
+    vals = jnp.take(log_pro_flat, flat)
+    return jnp.sum(jnp.where(valid, vals, 0.0), axis=1)
+
+
+# --------------------------------------------------------------------- #
+# conprb                                                                 #
+# --------------------------------------------------------------------- #
+def compute_log_conprb(
+    cfg: KernelConfig,
+    ref: RefDevice,
+    m1: ReadsDevice,
+    m2: Optional[ReadsDevice],
+    hits: HitsDevice,
+    model: Dict[str, jnp.ndarray],
+) -> jnp.ndarray:
+    """[H] float32 log conprb; -inf encodes the reference's exact zeros."""
+    log_pro_flat = model["log_pro"].reshape(-1).astype(jnp.float32)
+
+    def chunk_fn(args):
+        if cfg.paired:
+            rid, sid, dirs, pos, ins, valid = args
+        else:
+            rid, sid, dirs, pos, valid = args
+            ins = None
+        fl = ref.full_len[sid]
+        tl = ref.tot_len[sid]
+        msk = ref.mask_start[sid]
+        l1 = m1.lens[rid]
+        c1 = m1.codes[rid]
+        q1 = m1.quals[rid] if cfg.has_qual else None
+        lq = m1.lq[rid] if m2 is None else (m1.lq[rid] & m2.lq[rid]) | (
+            l1 < cfg.seed_len) | (m2.lens[rid] < cfg.seed_len)
+
+        log_ori = model["log_ori"].astype(jnp.float32)
+
+        if cfg.paired:
+            l2 = m2.lens[rid]
+            fpos = jnp.where(dirs == 1, tl - pos - ins, pos)
+            effL = jnp.minimum(fl, tl - ins + 1)
+            masked = (fpos >= fl) | ((fpos >= msk) & (fpos < fl))
+            lp = (
+                log_ori[dirs]
+                + log_lendist_adjusted(
+                    model["log_gld_pdf"], model["log_gld_cdf"],
+                    cfg.gld_lb, cfg.gld_ub, ins, tl,
+                )
+                + _safe_log(
+                    lin_rspd_adjusted(
+                        cfg, model["rspd_pdf"].astype(jnp.float32),
+                        model["rspd_cdf"].astype(jnp.float32), fpos, effL, fl,
+                    )
+                )
+                + log_lendist_adjusted(
+                    model["log_mld_pdf"], model["log_mld_cdf"],
+                    cfg.mld_lb, cfg.mld_ub, l1, ins,
+                )
+                + _profile_logprob(cfg, log_pro_flat, ref, c1, q1, l1, sid, pos, dirs)
+                + log_lendist_adjusted(
+                    model["log_mld_pdf"], model["log_mld_cdf"],
+                    cfg.mld_lb, cfg.mld_ub, l2, ins,
+                )
+                + _profile_logprob(
+                    cfg, log_pro_flat, ref, m2.codes[rid],
+                    m2.quals[rid] if cfg.has_qual else None, l2, sid,
+                    tl - pos - ins, 1 - dirs,
+                )
+            )
+        else:
+            fpos = jnp.where(dirs == 1, tl - pos - l1, pos)
+            seed_pos = jnp.where(dirs == 1, tl - pos - cfg.seed_len, pos)
+            masked = (seed_pos >= fl) | ((seed_pos >= msk) & (seed_pos < fl))
+            if cfg.use_mld:
+                # marginalize over fragment length (SingleModel.h:122-131)
+                F = cfg.gld_ub - cfg.gld_lb
+                fr = jnp.arange(cfg.gld_lb + 1, cfg.gld_ub + 1,
+                                dtype=jnp.int32)[None, :]
+                minL = jnp.maximum(l1, cfg.gld_lb + 1)[:, None]
+                maxL = jnp.minimum(tl - pos, cfg.gld_ub)[:, None]
+                in_r = (fr >= minL) & (fr <= maxL)
+                pf = jnp.where(
+                    dirs[:, None] == 1, tl[:, None] - pos[:, None] - fr,
+                    jnp.broadcast_to(pos[:, None], (pos.shape[0], F)),
+                )
+                effL = jnp.minimum(fl[:, None], tl[:, None] - fr + 1)
+                g = lin_lendist_adjusted(
+                    model["gld_pdf"].astype(jnp.float32),
+                    model["gld_cdf"].astype(jnp.float32),
+                    cfg.gld_lb, cfg.gld_ub, fr, tl[:, None],
+                )
+                r = lin_rspd_adjusted(
+                    cfg, model["rspd_pdf"].astype(jnp.float32),
+                    model["rspd_cdf"].astype(jnp.float32), pf, effL, fl[:, None],
+                )
+                m = lin_lendist_adjusted(
+                    model["mld_pdf"].astype(jnp.float32),
+                    model["mld_cdf"].astype(jnp.float32),
+                    cfg.mld_lb, cfg.mld_ub, l1[:, None], fr,
+                )
+                log_v = _safe_log(jnp.sum(jnp.where(in_r, g * r * m, 0.0), axis=1))
+            else:
+                effL = jnp.minimum(fl, tl - l1 + 1)
+                log_v = log_lendist_adjusted(
+                    model["log_gld_pdf"], model["log_gld_cdf"],
+                    cfg.gld_lb, cfg.gld_ub, l1, tl,
+                ) + _safe_log(
+                    lin_rspd_adjusted(
+                        cfg, model["rspd_pdf"].astype(jnp.float32),
+                        model["rspd_cdf"].astype(jnp.float32), fpos, effL, fl,
+                    )
+                )
+            lp = log_ori[dirs] + log_v + _profile_logprob(
+                cfg, log_pro_flat, ref, c1, q1, l1, sid, pos, dirs
+            )
+
+        lp = jnp.where(masked | lq | ~valid, NEG_INF, lp)
+        lp = jnp.where(lp < LOG_EPS, NEG_INF, lp)  # prob < EPSILON -> 0
+        log_mw = model["log_mw"].astype(jnp.float32)[sid]
+        lp = jnp.where(log_mw > NEG_INF, lp - log_mw, NEG_INF)
+        return lp
+
+    arrays = (hits.rid, hits.sid, hits.dir, hits.pos)
+    if cfg.paired:
+        arrays = arrays + (hits.insert_len,)
+    arrays = arrays + (hits.valid,)
+    return map_hit_chunks(chunk_fn, hits.rid.shape[0], arrays)
+
+
+def compute_log_noise_conprb(
+    cfg: KernelConfig,
+    m1: ReadsDevice,
+    m2: Optional[ReadsDevice],
+    model: Dict[str, jnp.ndarray],
+) -> jnp.ndarray:
+    """[N] log noise conprb (getNoiseConPrb; mw[0] is always 1)."""
+    log_npro = model["log_npro"].reshape(-1).astype(jnp.float32)
+
+    def one_mate(codes, quals, lens):
+        L = codes.shape[1]
+        j = jnp.arange(L, dtype=jnp.int32)[None, :]
+        readc = codes.astype(jnp.int32)
+        if cfg.has_qual:
+            flat = quals.astype(jnp.int32) * 5 + readc
+        else:
+            flat = readc
+        vals = jnp.take(log_npro, flat)
+        base_term = jnp.sum(jnp.where(j < lens[:, None], vals, 0.0), axis=1)
+        if cfg.paired or cfg.use_mld:
+            len_term = log_lendist_pdf(
+                model["log_mld_pdf"], cfg.mld_lb, cfg.mld_ub, lens
+            )
+        else:
+            len_term = log_lendist_pdf(
+                model["log_gld_pdf"], cfg.gld_lb, cfg.gld_ub, lens
+            )
+        return base_term + len_term
+
+    def chunk_fn(args):
+        if cfg.paired:
+            c1, q1, l1, c2, q2, l2, lq, valid = args
+            lp = one_mate(c1, q1, l1) + one_mate(c2, q2, l2)
+        else:
+            c1, q1, l1, lq, valid = args
+            lp = one_mate(c1, q1, l1)
+        lp = jnp.where(lq | ~valid, NEG_INF, lp)
+        return jnp.where(lp < LOG_EPS, NEG_INF, lp)
+
+    n = m1.lens.shape[0]
+    dummy_q1 = m1.quals if cfg.has_qual else jnp.zeros_like(m1.codes)
+    if cfg.paired:
+        lq = (m1.lq & m2.lq) | (m1.lens < cfg.seed_len) | (m2.lens < cfg.seed_len)
+        dummy_q2 = m2.quals if cfg.has_qual else jnp.zeros_like(m2.codes)
+        arrays = (m1.codes, dummy_q1, m1.lens, m2.codes, dummy_q2, m2.lens,
+                  lq, m1.valid)
+    else:
+        arrays = (m1.codes, dummy_q1, m1.lens, m1.lq, m1.valid)
+    return map_hit_chunks(chunk_fn, n, arrays, chunk=4096)

@@ -1,0 +1,132 @@
+"""Device-resident data layout for the quantification kernels.
+
+The alignment likelihood problem is intrinsically sparse and ragged (1..200
+alignments per read). The TPU layout keeps everything flat and static-shaped:
+
+  RefDevice   concatenated transcript base codes + per-transcript metadata
+  ReadsDevice padded [N, L] read codes/quals + lengths + low-quality flags
+  HitsDevice  flat [H] hit arrays (rid/sid/dir/pos/insertL), rid sorted
+
+Padding rows (beyond the real N/H) carry rid pointing at a dummy slot and are
+masked out by `valid` flags, so jit sees one shape per dataset.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def pad_to(x: np.ndarray, n: int, fill=0) -> np.ndarray:
+    """Pad axis 0 to length n with `fill`."""
+    if len(x) == n:
+        return x
+    pad = np.full((n - len(x),) + x.shape[1:], fill, dtype=x.dtype)
+    return np.concatenate([x, pad], axis=0)
+
+
+class RefDevice(NamedTuple):
+    codes: jnp.ndarray  # [T] uint8 concatenated (incl. poly(A))
+    offsets: jnp.ndarray  # [M+2] int32 start of each sid
+    full_len: jnp.ndarray  # [M+1] int32
+    tot_len: jnp.ndarray  # [M+1] int32
+    mask_start: jnp.ndarray  # [M+1] int32
+
+    @classmethod
+    def from_reference(cls, ref) -> "RefDevice":
+        """ref: refprep.Reference."""
+        return cls(
+            codes=jnp.asarray(ref.codes, dtype=jnp.uint8),
+            offsets=jnp.asarray(ref.offsets, dtype=jnp.int32),
+            full_len=jnp.asarray(ref.full_len, dtype=jnp.int32),
+            tot_len=jnp.asarray(ref.tot_len, dtype=jnp.int32),
+            mask_start=jnp.asarray(ref.mask_start, dtype=jnp.int32),
+        )
+
+
+class ReadsDevice(NamedTuple):
+    codes: jnp.ndarray  # [N, L] uint8
+    lens: jnp.ndarray  # [N] int32
+    quals: Optional[jnp.ndarray]  # [N, L] uint8 or None
+    lq: jnp.ndarray  # [N] bool
+    valid: jnp.ndarray  # [N] bool (False on padding rows)
+
+    @classmethod
+    def from_arrays(cls, ra, n_pad: Optional[int] = None) -> "ReadsDevice":
+        """ra: io.ReadArrays; n_pad: padded row count (defaults to ra.n)."""
+        n = n_pad or ra.n
+        valid = np.zeros(n, dtype=bool)
+        valid[: ra.n] = True
+        return cls(
+            codes=jnp.asarray(pad_to(ra.codes, n)),
+            lens=jnp.asarray(pad_to(ra.lens, n, fill=1), dtype=jnp.int32),
+            quals=(jnp.asarray(pad_to(ra.quals, n)) if ra.quals is not None else None),
+            lq=jnp.asarray(pad_to(ra.lq, n, fill=True)),
+            valid=jnp.asarray(valid),
+        )
+
+
+class HitsDevice(NamedTuple):
+    rid: jnp.ndarray  # [H] int32 (sorted)
+    sid: jnp.ndarray  # [H] int32 >= 1 (padding rows: sid 1, valid False)
+    dir: jnp.ndarray  # [H] int32 0/1
+    pos: jnp.ndarray  # [H] int32
+    insert_len: Optional[jnp.ndarray]  # [H] int32 (paired)
+    valid: jnp.ndarray  # [H] bool
+
+    @classmethod
+    def from_arrays(cls, ha, h_pad: Optional[int] = None) -> "HitsDevice":
+        h = h_pad or ha.n_hits
+        valid = np.zeros(h, dtype=bool)
+        valid[: ha.n_hits] = True
+        return cls(
+            rid=jnp.asarray(pad_to(ha.rid, h), dtype=jnp.int32),
+            sid=jnp.asarray(pad_to(ha.sid, h, fill=1), dtype=jnp.int32),
+            dir=jnp.asarray(pad_to(ha.dir, h).astype(np.int32)),
+            pos=jnp.asarray(pad_to(ha.pos, h), dtype=jnp.int32),
+            insert_len=(
+                jnp.asarray(pad_to(ha.insert_len, h, fill=1), dtype=jnp.int32)
+                if ha.insert_len is not None
+                else None
+            ),
+            valid=jnp.asarray(valid),
+        )
+
+
+class KernelConfig(NamedTuple):
+    """Static configuration baked into the jitted kernels."""
+
+    paired: bool
+    has_qual: bool
+    est_rspd: bool
+    use_mld: bool  # mld exists (paired always; single iff mean given)
+    B: int
+    seed_len: int
+    gld_lb: int
+    gld_ub: int
+    mld_lb: int
+    mld_ub: int
+    max_read_len: int  # L of the padded read arrays
+    pro_len: int  # profile position axis (maxL for Profile, 100 for QProfile)
+
+    @classmethod
+    def from_model(cls, model, max_read_len: int) -> "KernelConfig":
+        spec = model.spec
+        glb, gub = model.gld_window
+        mlb, mub = model.mld_window if model.mld_window else (0, 1)
+        return cls(
+            paired=spec.paired,
+            has_qual=spec.has_qual,
+            est_rspd=spec.est_rspd,
+            use_mld=spec.has_mld,
+            B=spec.B,
+            seed_len=spec.seed_len,
+            gld_lb=glb,
+            gld_ub=gub,
+            mld_lb=mlb,
+            mld_ub=mub,
+            max_read_len=max_read_len,
+            pro_len=(100 if spec.has_qual else model.pro.pro_len),
+        )

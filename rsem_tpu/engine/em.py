@@ -165,40 +165,61 @@ def run_em(
     log_conprb = conprb_fn(refd, m1, m2, hd, dev_model)
     log_ncp = ncp_fn(m1, m2, dev_model)
 
+    # ---- model-update rounds (conprb recomputed each round) ----
     rounds = 0
     tot_num = 1
-    while rounds < em_cfg.min_round or (tot_num > 0 and rounds < em_cfg.max_round):
+    while rounds < em_cfg.update_model_rounds and rounds < em_cfg.max_round:
         rounds += 1
-        update_model = rounds <= em_cfg.update_model_rounds
         log_theta = jnp.asarray(_safe_log_np(theta), dtype=jnp.float32)
-        if update_model:
-            new_theta, counts, suff = round_fn(
-                log_theta, log_conprb, log_ncp, dev_model, refd, m1, m2, hd,
-                with_suff=True,
-            )
-            suff_np = {k: np.asarray(v, dtype=np.float64) for k, v in suff.items()}
-            model.finish_round(suff_np)
-            dev_model = to_dev(model.device_arrays())
-            log_conprb = conprb_fn(refd, m1, m2, hd, dev_model)
-            log_ncp = ncp_fn(m1, m2, dev_model)
-        else:
-            new_theta, counts = theta_step(log_theta, log_conprb, log_ncp, hd)
+        new_theta, counts, suff = round_fn(
+            log_theta, log_conprb, log_ncp, dev_model, refd, m1, m2, hd,
+            with_suff=True,
+        )
+        suff_np = {k: np.asarray(v, dtype=np.float64) for k, v in suff.items()}
+        model.finish_round(suff_np)
+        dev_model = to_dev(model.device_arrays())
+        log_conprb = conprb_fn(refd, m1, m2, hd, dev_model)
+        log_ncp = ncp_fn(m1, m2, dev_model)
         new_theta = np.asarray(new_theta, dtype=np.float64)
         bchg, tot_num = _bchange(new_theta, theta)
         theta = new_theta
         if em_cfg.verbose:
             print(f"ROUND = {rounds}, bChange = {bchg:.6g}, totNum = {tot_num}")
 
-    # ---- final pass: expected weights & counts (EM.cpp:460-478) ----
-    log_theta = jnp.asarray(_safe_log_np(theta), dtype=jnp.float32)
-    final_fn = jax.jit(
-        lambda lt, lc, ln, hd_: estep_fracs(
-            lt, hd_.sid, hd_.rid, lc, ln, n_reads, M
-        )
+    # ---- theta-only rounds: on-device while_loop over the fast layout ----
+    from ..ops.fast_estep import (
+        build_fast_data,
+        fast_final_fracs,
+        run_fast_em_loop,
     )
-    final = final_fn(log_theta, log_conprb, log_ncp, hd)
-    counts = np.asarray(final.counts, dtype=np.float64)
-    counts[0] += N0
+
+    lcp_np = np.asarray(log_conprb, dtype=np.float64)[: bundle.hits.n_hits]
+    lnp_np = np.asarray(log_ncp, dtype=np.float64)[: bundle.hits.n_reads]
+    fdata = build_fast_data(bundle.hits, lcp_np, lnp_np, M, float(N0))
+
+    loop_fn = jax.jit(
+        partial(
+            run_fast_em_loop,
+            min_round=em_cfg.min_round,
+            max_round=em_cfg.max_round,
+        ),
+        static_argnames=(),
+    )
+    theta_dev, counts_dev, rounds_dev = loop_fn(
+        jnp.asarray(theta, dtype=jnp.float32), fdata,
+        start_round=jnp.asarray(rounds, dtype=jnp.int32),
+    )
+    theta = np.asarray(theta_dev, dtype=np.float64)
+    rounds = int(rounds_dev)
+
+    # ---- final pass: expected weights & counts (EM.cpp:460-478) ----
+    final_fn = jax.jit(fast_final_fracs)
+    frac_hit, frac_noise = final_fn(jnp.asarray(theta, dtype=jnp.float32), fdata)
+    frac_hit = np.asarray(frac_hit, dtype=np.float64)[: bundle.hits.n_hits]
+    frac_noise = np.asarray(frac_noise, dtype=np.float64)
+    counts = np.zeros(M + 1)
+    np.add.at(counts, bundle.hits.sid, frac_hit)
+    counts[0] = frac_noise.sum() + N0
 
     theta_raw = theta.copy()
     eel = model.calc_eel()
@@ -216,10 +237,10 @@ def run_em(
         rounds=rounds,
     )
     if need_posteriors:
-        res.frac_hit = np.asarray(final.frac_hit)[: bundle.hits.n_hits]
-        res.frac_noise = np.asarray(final.frac_noise)[: bundle.reads.n]
-        res.log_conprb = np.asarray(log_conprb)[: bundle.hits.n_hits]
-        res.log_ncp = np.asarray(log_ncp)[: bundle.reads.n]
+        res.frac_hit = frac_hit
+        res.frac_noise = frac_noise[: bundle.reads.n]
+        res.log_conprb = lcp_np
+        res.log_ncp = lnp_np
     return res
 
 

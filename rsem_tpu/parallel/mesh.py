@@ -1,0 +1,209 @@
+"""Data-parallel EM over a device mesh.
+
+The reference parallelizes its E-step with pthreads over read shards and a
+serial count-vector reduction (EM.cpp:135-157, 373-389). The TPU-native
+equivalent: reads and their hits are sharded across a 1-D 'dp' mesh axis
+(hits of one read never split), transcript-dim state (theta, model tensors,
+reference) is replicated, and per-round sufficient statistics — the [M+1]
+count vector plus tiny model tensors — are psum-merged over ICI/DCN.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..ops.conprb import CHUNK, _ceil_to, compute_log_conprb, compute_log_noise_conprb
+from ..ops.estep import estep_fracs, suffstats
+from ..ops.layout import HitsDevice, KernelConfig, ReadsDevice, RefDevice, pad_to
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), axis_names=("dp",))
+
+
+class ShardedData(NamedTuple):
+    """Per-device stacked arrays: leading axis = device."""
+
+    m1: ReadsDevice  # [D, N_dev, ...]
+    m2: Optional[ReadsDevice]
+    hits: HitsDevice  # [D, H_dev]
+    n_reads_dev: int
+    n_hits_dev: int
+
+
+def shard_bundle_by_read(
+    bundle, n_dev: int, chunk: int = CHUNK
+) -> ShardedData:
+    """Partition reads into n_dev contiguous groups balanced by hit count
+    (the reference's thread partitioning strategy, EM.cpp:135-157), then pad
+    each group to common [N_dev] / [H_dev] shapes.
+
+    rid within each shard is rebased to the shard-local read index.
+    """
+    hits = bundle.hits
+    n_reads = hits.n_reads
+    offsets = hits.read_offsets
+    total_hits = hits.n_hits
+    # balanced contiguous split by cumulative hit count
+    targets = (np.arange(1, n_dev) * total_hits) // n_dev
+    cuts = np.searchsorted(offsets[1:], targets, side="left") + 1
+    bounds = np.concatenate([[0], cuts, [n_reads]])
+    n_dev_reads = int(np.diff(bounds).max())
+    n_dev_reads = max(n_dev_reads, 1)
+    h_dev = max(
+        int(np.max(offsets[bounds[1:]] - offsets[bounds[:-1]])), 1
+    )
+    h_dev = max(_ceil_to(h_dev, chunk), chunk)
+
+    def stack_reads(ra) -> ReadsDevice:
+        rows_codes, rows_lens, rows_quals, rows_lq, rows_valid = [], [], [], [], []
+        for d in range(n_dev):
+            lo, hi = bounds[d], bounds[d + 1]
+            n_local = hi - lo
+            valid = np.zeros(n_dev_reads, dtype=bool)
+            valid[:n_local] = True
+            rows_codes.append(pad_to(ra.codes[lo:hi], n_dev_reads))
+            rows_lens.append(pad_to(ra.lens[lo:hi], n_dev_reads, fill=1))
+            if ra.quals is not None:
+                rows_quals.append(pad_to(ra.quals[lo:hi], n_dev_reads))
+            rows_lq.append(pad_to(ra.lq[lo:hi], n_dev_reads, fill=True))
+            rows_valid.append(valid)
+        return ReadsDevice(
+            codes=jnp.asarray(np.stack(rows_codes)),
+            lens=jnp.asarray(np.stack(rows_lens), dtype=jnp.int32),
+            quals=(jnp.asarray(np.stack(rows_quals)) if ra.quals is not None else None),
+            lq=jnp.asarray(np.stack(rows_lq)),
+            valid=jnp.asarray(np.stack(rows_valid)),
+        )
+
+    def stack_hits() -> HitsDevice:
+        f = {k: [] for k in ("rid", "sid", "dir", "pos", "ins", "valid")}
+        for d in range(n_dev):
+            lo, hi = bounds[d], bounds[d + 1]
+            hlo, hhi = offsets[lo], offsets[hi]
+            n_local = hhi - hlo
+            valid = np.zeros(h_dev, dtype=bool)
+            valid[:n_local] = True
+            f["rid"].append(pad_to(hits.rid[hlo:hhi] - lo, h_dev))
+            f["sid"].append(pad_to(hits.sid[hlo:hhi], h_dev, fill=1))
+            f["dir"].append(pad_to(hits.dir[hlo:hhi].astype(np.int32), h_dev))
+            f["pos"].append(pad_to(hits.pos[hlo:hhi], h_dev))
+            if hits.insert_len is not None:
+                f["ins"].append(pad_to(hits.insert_len[hlo:hhi], h_dev, fill=1))
+            f["valid"].append(valid)
+        return HitsDevice(
+            rid=jnp.asarray(np.stack(f["rid"]), dtype=jnp.int32),
+            sid=jnp.asarray(np.stack(f["sid"]), dtype=jnp.int32),
+            dir=jnp.asarray(np.stack(f["dir"]), dtype=jnp.int32),
+            pos=jnp.asarray(np.stack(f["pos"]), dtype=jnp.int32),
+            insert_len=(
+                jnp.asarray(np.stack(f["ins"]), dtype=jnp.int32)
+                if hits.insert_len is not None
+                else None
+            ),
+            valid=jnp.asarray(np.stack(f["valid"])),
+        )
+
+    if bundle.paired:
+        m1 = stack_reads(bundle.reads.mate1)
+        m2 = stack_reads(bundle.reads.mate2)
+    else:
+        m1 = stack_reads(bundle.reads)
+        m2 = None
+    return ShardedData(m1, m2, stack_hits(), n_dev_reads, h_dev)
+
+
+def place_sharded(mesh: Mesh, data: ShardedData) -> ShardedData:
+    """Move the [D, ...] stacked arrays onto the mesh, device-sharded on the
+    leading axis."""
+
+    def put(x):
+        if x is None or not hasattr(x, "ndim"):
+            return x
+        spec = P("dp", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, data, is_leaf=lambda x: x is None)
+
+
+def make_sharded_round(
+    mesh: Mesh,
+    kcfg: KernelConfig,
+    M: int,
+    n0: float,
+    probF: float,
+    n_reads_dev: int,
+    with_suff: bool,
+):
+    """Build the jitted full EM round over the mesh: per-shard conprb +
+    segment-softmax E-step (+ model sufficient statistics), psum-merged, then
+    the replicated M-step."""
+
+    dp = P("dp")
+    rep = P()
+
+    def local_round(log_theta, refd, m1, m2, hd, dev_model):
+        # shard_map blocks keep the leading device axis with size 1; drop it
+        squeeze = lambda tree: jax.tree.map(
+            lambda x: None if x is None else x[0], tree,
+            is_leaf=lambda x: x is None,
+        )
+        m1 = squeeze(m1)
+        m2 = squeeze(m2) if m2 is not None else None
+        hd = squeeze(hd)
+        log_conprb = compute_log_conprb(kcfg, refd, m1, m2, hd, dev_model)
+        log_ncp = compute_log_noise_conprb(kcfg, m1, m2, dev_model)
+        out = estep_fracs(
+            log_theta, hd.sid, hd.rid, log_conprb, log_ncp, n_reads_dev, M
+        )
+        counts = jax.lax.psum(out.counts, "dp")
+        counts = counts.at[0].add(n0)
+        theta = counts / jnp.sum(counts)
+        if with_suff:
+            suff = suffstats(
+                kcfg, refd, m1, m2, hd, out.frac_hit, out.frac_noise,
+                dev_model, probF,
+            )
+            suff = jax.tree.map(lambda x: jax.lax.psum(x, "dp"), suff)
+            return theta, counts, suff
+        return theta, counts
+
+    shard_axes = lambda tree, spec: jax.tree.map(
+        lambda _: spec, tree, is_leaf=lambda x: x is None
+    )
+
+    def specs_for(data_tree, spec):
+        return jax.tree.map(
+            lambda _: spec, data_tree, is_leaf=lambda x: x is None
+        )
+
+    def build(refd_tree, m1_tree, m2_tree, hd_tree, model_tree):
+        in_specs = (
+            rep,  # log_theta
+            specs_for(refd_tree, rep),
+            specs_for(m1_tree, dp),
+            specs_for(m2_tree, dp),
+            specs_for(hd_tree, dp),
+            specs_for(model_tree, rep),
+        )
+        out_specs = (rep, rep, rep) if with_suff else (rep, rep)
+        fn = shard_map(
+            local_round, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    return build

@@ -1,0 +1,206 @@
+"""Synthetic dataset generation for benchmarks, compile checks and tests.
+
+Builds a Reference + AlignmentBundle directly in memory (no SAM round-trip):
+reads are true substrings of transcripts (so likelihoods are realistic), with
+extra decoy alignments to exercise multi-mapping.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .io.hits import CntStats, HitArrays
+from .io.reads import PairedReadArrays, ReadArrays, ReadStats
+from .io.sam import AlignmentBundle
+from .model.generative import GenerativeModel
+from .model.spec import ModelSpec
+from .refprep.reference import Reference
+from .utils.seq import decode
+
+
+def synthetic_arrays_fast(
+    n_reads: int = 500_000,
+    M: int = 20_000,
+    read_len: int = 100,
+    tx_len: int = 2000,
+    paired: bool = False,
+    has_qual: bool = True,
+    mean_extra_hits: float = 1.5,
+    seed: int = 0,
+    collect_qual_stats: bool = False,
+) -> Tuple[Reference, AlignmentBundle, ModelSpec, GenerativeModel]:
+    """Fully vectorized generator for benchmarks: sequence content is random
+    (likelihood values are arbitrary but the compute shape is realistic).
+    collect_qual_stats=False skips the QualDist transition counting (only
+    needed by the simulator / .model file, not by any kernel)."""
+    rng = np.random.default_rng(seed)
+    model_type = (2 if paired else 0) + (1 if has_qual else 0)
+
+    lens = rng.integers(max(read_len * 3, tx_len // 2), tx_len + 1, size=M)
+    codes = rng.integers(0, 4, size=int(lens.sum()), dtype=np.int64).astype(np.uint8)
+    ref = Reference.__new__(Reference)
+    ref.names = [""] + [f"TX{i:05d}" for i in range(M)]
+    ref.full_len = np.concatenate([[0], lens]).astype(np.int64)
+    ref.tot_len = ref.full_len.copy()
+    ref.mask_start = ref.full_len.copy()
+    ref.codes = codes
+    ref.offsets = np.zeros(M + 2, dtype=np.int64)
+    np.cumsum(ref.tot_len, out=ref.offsets[1:])
+
+    n_hits_per = 1 + rng.poisson(mean_extra_hits, size=n_reads)
+    H = int(n_hits_per.sum())
+    rid = np.repeat(np.arange(n_reads, dtype=np.int32), n_hits_per)
+    sid = rng.integers(1, M + 1, size=H).astype(np.int32)
+    dirs = rng.integers(0, 2, size=H).astype(np.int8)
+    if paired:
+        ins = rng.integers(2 * read_len, 3 * read_len, size=H).astype(np.int32)
+        ins = np.minimum(ins, ref.tot_len[sid].astype(np.int32))
+        span = ins
+    else:
+        ins = None
+        span = np.full(H, read_len, dtype=np.int32)
+    max_pos = (ref.tot_len[sid] - span).astype(np.int64)
+    pos = (rng.random(H) * (max_pos + 1)).astype(np.int32)
+    offsets = np.zeros(n_reads + 1, dtype=np.int64)
+    np.cumsum(n_hits_per, out=offsets[1:])
+    hits = HitArrays(rid, sid, dirs, pos, ins, offsets)
+
+    def rand_reads():
+        rcodes = rng.integers(0, 4, size=(n_reads, read_len), dtype=np.int64).astype(np.uint8)
+        rlens = np.full(n_reads, read_len, dtype=np.int32)
+        rquals = (
+            rng.integers(20, 40, size=(n_reads, read_len), dtype=np.int64).astype(np.uint8)
+            if has_qual else None
+        )
+        return ReadArrays(rcodes, rlens, rquals, np.zeros(n_reads, dtype=bool))
+
+    m1 = rand_reads()
+    if paired:
+        m2 = rand_reads()
+        reads = PairedReadArrays.build(m1, m2, 25)
+    else:
+        reads = m1
+
+    stats = {i: ReadStats() for i in range(3)}
+    sq = m1.quals if collect_qual_stats else None
+    stats[1].add_reads(m1.codes, m1.lens, sq, np.zeros(n_reads, bool), False)
+    if paired:
+        sq2 = m2.quals if collect_qual_stats else None
+        stats[1].add_reads(m2.codes, m2.lens, sq2, np.zeros(n_reads, bool), False)
+
+    cnt = CntStats(N0=0, N1=n_reads, N2=0, n_hits=H, read_type=model_type, hist={})
+    bundle = AlignmentBundle(model_type, reads, hits, stats, cnt,
+                             np.zeros(0, dtype=np.int64))
+    spec = ModelSpec(model_type=model_type, seed_len=25, has_polya=False)
+    model = GenerativeModel(spec, ref)
+    model.estimate_from_stats(stats)
+    return ref, bundle, spec, model
+
+
+def synthetic_dataset(
+    n_reads: int = 1000,
+    M: int = 50,
+    read_len: int = 50,
+    tx_len: int = 500,
+    paired: bool = False,
+    has_qual: bool = True,
+    mean_extra_hits: float = 1.0,
+    n0: int = 5,
+    seed: int = 0,
+) -> Tuple[Reference, AlignmentBundle, ModelSpec, GenerativeModel]:
+    rng = np.random.default_rng(seed)
+    model_type = (2 if paired else 0) + (1 if has_qual else 0)
+
+    lens = rng.integers(max(tx_len // 2, read_len * 2 + 10), tx_len + 1, size=M)
+    seqs = [decode(rng.integers(0, 4, size=l)) for l in lens]
+    names = [f"TX{i:05d}" for i in range(M)]
+    ref = Reference(names, seqs, [0] * M)
+
+    # expression skewed like real data
+    theta = rng.dirichlet(np.full(M, 0.3))
+    src = rng.choice(M, size=n_reads, p=theta) + 1
+
+    seqs1, quals1, seqs2, quals2 = [], [], [], []
+    per_read_hits = []
+    for i in range(n_reads):
+        sid = int(src[i])
+        tl = int(ref.tot_len[sid])
+        if paired:
+            ins = int(rng.integers(2 * read_len, min(tl, 3 * read_len) + 1)) \
+                if tl >= 2 * read_len else tl
+            pos = int(rng.integers(0, tl - ins + 1))
+            frag = ref.seq_codes(sid)[pos : pos + ins]
+            m1c = frag[:read_len].copy()
+            m2c = frag[-read_len:][::-1].copy()
+            m2c = np.where(m2c < 4, 3 - m2c, m2c).astype(np.uint8)
+            seqs1.append(m1c)
+            seqs2.append(m2c)
+            hits = [(sid, pos, ins)]
+        else:
+            pos = int(rng.integers(0, tl - read_len + 1))
+            seqs1.append(ref.seq_codes(sid)[pos : pos + read_len].copy())
+            hits = [(sid, pos)]
+        if has_qual:
+            quals1.append(rng.integers(20, 40, size=read_len).astype(np.uint8))
+            if paired:
+                quals2.append(rng.integers(20, 40, size=read_len).astype(np.uint8))
+        # decoy multi-map hits
+        n_extra = int(rng.poisson(mean_extra_hits))
+        for _ in range(n_extra):
+            dsid = int(rng.integers(1, M + 1))
+            dtl = int(ref.tot_len[dsid])
+            if paired:
+                dins = min(hits[0][2], dtl)
+                if dtl < dins:
+                    continue
+                dpos = int(rng.integers(0, dtl - dins + 1))
+                hits.append((dsid, dpos, dins))
+            else:
+                if dtl < read_len:
+                    continue
+                dpos = int(rng.integers(0, dtl - read_len + 1))
+                hits.append((dsid, dpos))
+        per_read_hits.append(hits)
+
+    m1 = ReadArrays.build(seqs1, quals1 if has_qual else None, False, 25)
+    if paired:
+        m2 = ReadArrays.build(seqs2, quals2 if has_qual else None, False, 25)
+        reads = PairedReadArrays.build(m1, m2, 25)
+    else:
+        reads = m1
+    hits = HitArrays.from_lists(per_read_hits, paired)
+
+    stats = {i: ReadStats() for i in range(3)}
+    if paired:
+        stats[1].add_reads(m1.codes, m1.lens, m1.quals, reads.lq, False)
+        stats[1].add_reads(m2.codes, m2.lens, m2.quals, reads.lq, False)
+    else:
+        stats[1].add_reads(m1.codes, m1.lens, m1.quals, m1.lq, False)
+    # unalignable reads -> noise stats
+    if n0 > 0:
+        codes0 = rng.integers(0, 4, size=(n0, read_len)).astype(np.uint8)
+        lens0 = np.full(n0, read_len, dtype=np.int32)
+        q0 = rng.integers(20, 40, size=(n0, read_len)).astype(np.uint8) \
+            if has_qual else None
+        lq0 = np.zeros(n0, dtype=bool)
+        stats[0].add_reads(codes0, lens0, q0, lq0, True)
+        if paired:
+            stats[0].add_reads(codes0, lens0, q0, lq0, True)
+
+    hist = {}
+    for h in per_read_hits:
+        hist[len(h)] = hist.get(len(h), 0) + 1
+    cnt = CntStats(
+        N0=n0, N1=n_reads, N2=0, n_unique=0, n_multi=0,
+        n_iso_multi=hits.n_isoform_multi_reads(), n_hits=hits.n_hits,
+        read_type=model_type, hist=hist,
+    )
+    bundle = AlignmentBundle(model_type, reads, hits, stats, cnt,
+                             np.zeros(0, dtype=np.int64))
+
+    spec = ModelSpec(model_type=model_type, seed_len=25, has_polya=False)
+    model = GenerativeModel(spec, ref)
+    model.estimate_from_stats(stats)
+    return ref, bundle, spec, model

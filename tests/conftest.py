@@ -1,14 +1,18 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
-Must set env vars before jax is imported anywhere (the driver's bench runs on
-the real TPU; tests deliberately never touch it).
+The ambient environment pins JAX_PLATFORMS to the TPU platform and ignores
+env overrides, so the platform is forced via jax.config before any backend
+initialization. XLA_FLAGS must be set before jax import.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

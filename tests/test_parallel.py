@@ -1,0 +1,115 @@
+"""Sharded EM over an 8-device CPU mesh matches the single-device path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rsem_tpu.engine import EMConfig, run_em
+from rsem_tpu.io import parse_alignments
+from rsem_tpu.model import GenerativeModel, ModelSpec
+from rsem_tpu.ops import KernelConfig, RefDevice
+from rsem_tpu.parallel import make_mesh, make_sharded_round, shard_bundle_by_read
+from rsem_tpu.parallel.mesh import place_sharded
+from rsem_tpu.refprep.reference import Reference
+
+from test_em_end_to_end import T1, T2, T3, _make_reads
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("par")
+    header = ["@HD\tVN:1.0"]
+    for name, seq in [("t1", T1), ("t2", T2), ("t3", T3)]:
+        header.append(f"@SQ\tSN:{name}\tLN:{len(seq)}")
+    lines = header + _make_reads({"t1": 50, "t2": 100, "t3": 50})
+    p = d / "aln.sam"
+    p.write_text("\n".join(lines) + "\n")
+    ref = Reference(["t1", "t2", "t3"], [T1, T2, T3], [0, 0, 0])
+    bundle = parse_alignments(str(p), ["", "t1", "t2", "t3"], 1, False, 25)
+    return ref, bundle
+
+
+def test_sharded_round_matches_single(setup):
+    ref, bundle = setup
+    assert len(jax.devices()) == 8, "conftest must set up the 8-device CPU mesh"
+
+    spec = ModelSpec(model_type=1, seed_len=25)
+    model = GenerativeModel(spec, ref)
+    model.estimate_from_stats(bundle.stats)
+
+    mesh = make_mesh(8)
+    sharded = shard_bundle_by_read(bundle, 8, chunk=256)
+    sharded = place_sharded(mesh, sharded)
+    refd = RefDevice.from_reference(ref)
+    kcfg = KernelConfig.from_model(model, sharded.m1.codes.shape[2])
+    dev_model = {
+        k: jnp.asarray(v, dtype=jnp.float32) for k, v in model.device_arrays().items()
+    }
+    M = ref.M
+    N0, N2, Ntot = bundle.cnt.N0, bundle.cnt.N2, bundle.cnt.n_tot
+    theta = np.empty(M + 1)
+    theta[0] = max(N0 / (Ntot - N2), 1e-8)
+    theta[1:] = (1 - theta[0]) / M
+
+    build = make_sharded_round(
+        mesh, kcfg, M, float(N0), spec.probF, sharded.n_reads_dev, with_suff=True
+    )
+    round_fn = build(refd, sharded.m1, sharded.m2, sharded.hits, dev_model)
+
+    with jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh:
+        log_theta = jnp.asarray(np.log(theta), dtype=jnp.float32)
+        theta1, counts1, suff1 = round_fn(
+            log_theta, refd, sharded.m1, sharded.m2, sharded.hits, dev_model
+        )
+    theta1 = np.asarray(theta1)
+    counts1 = np.asarray(counts1)
+
+    # single-device equivalent: one EM round with model updates on
+    model2 = GenerativeModel(spec, ref)
+    model2.estimate_from_stats(bundle.stats)
+    cfg = EMConfig(update_model_rounds=1, min_round=1, max_round=1)
+    res = run_em(model2, ref, bundle, cfg)
+
+    # run_em does 1 round; compare thetas after that single round
+    np.testing.assert_allclose(counts1.sum(), bundle.cnt.N0 + bundle.cnt.N1, rtol=1e-4)
+    np.testing.assert_allclose(theta1, res.theta_raw, rtol=5e-4, atol=1e-7)
+    # sufficient statistics: profile counts total ~= aligned read bases
+    # (every read is 30bp; noise fraction is tiny)
+    assert float(suff1["pro"].sum()) == pytest.approx(bundle.cnt.N1 * 30, rel=0.05)
+
+
+def test_full_sharded_em_counts(setup):
+    """Iterating the sharded round converges to the same counts."""
+    ref, bundle = setup
+    spec = ModelSpec(model_type=1, seed_len=25)
+    model = GenerativeModel(spec, ref)
+    model.estimate_from_stats(bundle.stats)
+
+    mesh = make_mesh(8)
+    sharded = place_sharded(mesh, shard_bundle_by_read(bundle, 8, chunk=256))
+    refd = RefDevice.from_reference(ref)
+    kcfg = KernelConfig.from_model(model, sharded.m1.codes.shape[2])
+    dev_model = {
+        k: jnp.asarray(v, dtype=jnp.float32) for k, v in model.device_arrays().items()
+    }
+    M = ref.M
+    N0 = bundle.cnt.N0
+    build = make_sharded_round(
+        mesh, kcfg, M, float(N0), spec.probF, sharded.n_reads_dev, with_suff=False
+    )
+    round_fn = build(refd, sharded.m1, sharded.m2, sharded.hits, dev_model)
+
+    theta = np.empty(M + 1)
+    theta[0] = max(N0 / bundle.cnt.n_tot, 1e-8) if N0 else 1e-8
+    theta[1:] = (1 - theta[0]) / M
+    for _ in range(60):
+        lt = jnp.asarray(np.log(np.maximum(theta, 1e-300)), dtype=jnp.float32)
+        theta_new, counts = round_fn(
+            lt, refd, sharded.m1, sharded.m2, sharded.hits, dev_model
+        )
+        theta = np.asarray(theta_new, dtype=np.float64)
+    counts = np.asarray(counts)
+    assert counts[3] == pytest.approx(50, rel=0.1)
+    assert counts.sum() == pytest.approx(bundle.cnt.N0 + bundle.cnt.N1, rel=1e-4)

@@ -1,0 +1,329 @@
+"""Collapsed Gibbs sampler over read assignments (reference: Gibbs.cpp).
+
+The reference runs nThreads fully independent chains, each performing a
+sequential sweep over all reads per round (Gibbs.cpp:265-353). A sequential
+1-read-at-a-time sweep is hostile to TPUs, so the TPU-native sampler uses
+
+  * chain parallelism via vmap (the reference's thread-per-chain, wider), and
+  * *blocked* within-sweep updates: reads are processed in NBLOCKS
+    consecutive blocks per sweep; within a block every read samples
+    z_i ~ (counts[sid] - [z_i == sid] + pseudo) * conprb with counts frozen
+    at block start (its own previous assignment is subtracted exactly),
+    then counts are refreshed. As NBLOCKS -> N1 this is exactly the
+    reference's collapsed sweep; for NBLOCKS blocks the within-block
+    staleness is O(block_size / N1) and vanishes for typical N >> M.
+
+Sampling is Gumbel-argmax over each read's alignment slots in a dense
+bucketed layout (reads grouped by alignment count), so a sweep is pure
+vectorized compute + one counts refresh per block.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import EPSILON
+
+NEG_INF = -jnp.inf
+
+
+@dataclass
+class GibbsConfig:
+    burnin: int = 200
+    nsamples: int = 1000
+    gap: int = 1
+    n_chains: int = 8
+    n_blocks: int = 32
+    pseudo_count: float = 1.0
+    seed: int = 0
+    keep_countvectors: bool = True
+
+
+@dataclass
+class GibbsResult:
+    pme_c: np.ndarray  # [M+1] posterior mean counts
+    pve_c: np.ndarray  # [M+1] posterior count variance
+    pme_tpm: np.ndarray
+    pme_fpkm: np.ndarray
+    pve_c_genes: np.ndarray  # [m]
+    pve_c_trans: Optional[np.ndarray]  # [m_trans] (allele mode)
+    countvectors: Optional[np.ndarray]  # [nsamples, M+1] float32
+
+
+class GibbsData:
+    """Dense bucketed posterior matrix (the .ofg content, on device).
+
+    Each read's slots = [noise (sid 0, ncp)] + hits with conprb >= EPSILON;
+    reads are grouped into power-of-two-width buckets.
+    """
+
+    def __init__(self, hits, log_conprb: np.ndarray, log_ncp: np.ndarray, M: int):
+        N = hits.n_reads
+        offsets = hits.read_offsets
+        keep = np.isfinite(log_conprb)
+        keep_noise = np.isfinite(log_ncp)
+        n_slots = np.diff(offsets) * 0
+        n_slots = np.add.reduceat(keep.astype(np.int64), offsets[:-1]) if hits.n_hits else np.zeros(N, np.int64)
+        n_slots = n_slots + keep_noise.astype(np.int64)
+        # reads with zero usable slots never get sampled (reference drops
+        # empty .ofg lines, effectively shrinking N1); give them one noise
+        # slot with weight 0 -> they always stay on the noise isoform
+        empty = n_slots == 0
+
+        widths = np.maximum(n_slots, 1)
+        bucket_w = 1 << np.ceil(np.log2(widths)).astype(np.int64)
+        self.buckets: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self.read_index: List[np.ndarray] = []
+        self.M = M
+        self.N = N
+        self.n_dropped = int(empty.sum())
+
+        for w in np.unique(bucket_w):
+            rows = np.flatnonzero(bucket_w == w)
+            n = len(rows)
+            sid_b = np.zeros((n, int(w)), dtype=np.int32)
+            lcp_b = np.full((n, int(w)), -np.inf)
+            for r, i in enumerate(rows):
+                c = 0
+                if keep_noise[i]:
+                    sid_b[r, 0] = 0
+                    lcp_b[r, 0] = log_ncp[i]
+                    c = 1
+                for h in range(offsets[i], offsets[i + 1]):
+                    if keep[h]:
+                        sid_b[r, c] = hits.sid[h]
+                        lcp_b[r, c] = log_conprb[h]
+                        c += 1
+            self.buckets.append(
+                (
+                    jnp.asarray(sid_b),
+                    jnp.asarray(lcp_b, dtype=jnp.float32),
+                    jnp.asarray(rows, dtype=jnp.int32),
+                )
+            )
+            self.read_index.append(rows)
+
+
+def _sample_bucket(key, sid_b, lcp_b, counts, z_rows, pseudo):
+    """Sample new assignments for every read in the bucket given current
+    counts. counts: [M+1] float32; z_rows: [n] current sids for these reads;
+    pseudo: [M+1] pseudo-count vector. Returns new sids [n]."""
+    n, w = sid_b.shape
+    own = (sid_b == z_rows[:, None]).astype(jnp.float32)
+    c = counts[sid_b] - own + pseudo[sid_b]
+    lw = jnp.where(
+        (c > 0) & jnp.isfinite(lcp_b), jnp.log(jnp.maximum(c, 1e-30)) + lcp_b, NEG_INF
+    )
+    g = jax.random.gumbel(key, lw.shape, dtype=jnp.float32)
+    pick = jnp.argmax(jnp.where(jnp.isfinite(lw), lw + g, NEG_INF), axis=1)
+    new_sid = jnp.take_along_axis(sid_b, pick[:, None], axis=1)[:, 0]
+    # reads with no valid slot stay where they are
+    any_valid = jnp.any(jnp.isfinite(lw), axis=1)
+    return jnp.where(any_valid, new_sid, z_rows)
+
+
+def run_gibbs(
+    hits,
+    log_conprb: np.ndarray,
+    log_ncp: np.ndarray,
+    M: int,
+    N0: int,
+    eel: np.ndarray,
+    mw: np.ndarray,
+    gi,
+    cfg: GibbsConfig,
+    omit: Optional[np.ndarray] = None,
+    prior: Optional[np.ndarray] = None,
+    ta=None,
+) -> GibbsResult:
+    """hits: io.HitArrays; log_conprb/log_ncp: final model conprbs from EM
+    (the .ofg content); gi: gene GroupInfo; ta: transcript->allele GroupInfo
+    in allele mode; prior: [M+1] per-isoform pseudo-counts (pRSEM --prior)."""
+    C = cfg.n_chains
+    assert cfg.nsamples % C == 0, "nsamples must be divisible by n_chains"
+    samples_per_chain = cfg.nsamples // C
+    chain_len = 1 + (samples_per_chain - 1) * cfg.gap
+
+    data = GibbsData(hits, log_conprb, log_ncp, M)
+    N1 = data.N
+
+    # init_counts / totc (Gibbs.cpp:152-167, load_prior_info)
+    init_counts = np.zeros(M + 1)
+    if omit is not None and len(omit):
+        init_counts[np.asarray(omit, dtype=np.int64)] = -1
+    if prior is not None:
+        pseudo = np.asarray(prior, dtype=np.float64).copy()
+        pseudo[init_counts < 0] = 0.0
+        totc = 1.0 + pseudo[1:][init_counts[1:] >= 0].sum() + N0 + N1
+    else:
+        pseudo = np.full(M + 1, cfg.pseudo_count)
+        totc = (M + 1 - (init_counts < 0).sum()) * cfg.pseudo_count + N0 + N1
+
+    eel_d = jnp.asarray(eel, dtype=jnp.float32)
+    mw_d = jnp.asarray(mw, dtype=jnp.float32)
+    pseudo_d = jnp.asarray(pseudo, dtype=jnp.float32)
+    init_counts_d = jnp.asarray(init_counts, dtype=jnp.float32)
+
+    # gene / allele-transcript group membership for count-variance accumulation
+    sids = np.arange(1, M + 1)
+    gids = jnp.asarray(gi.gids_of(sids), dtype=jnp.int32)
+    m = gi.m
+    if ta is not None:
+        tids = jnp.asarray(ta.gids_of(sids), dtype=jnp.int32)
+        m_trans = ta.m
+    else:
+        tids, m_trans = None, 0
+
+    # ---- per-chain state & one sweep ----
+    n_buckets = len(data.buckets)
+
+    def init_chain(key):
+        z = jnp.zeros(N1, dtype=jnp.int32)
+        counts = init_counts_d.at[0].add(float(N0))
+        for b, (sid_b, lcp_b, rows) in enumerate(data.buckets):
+            kb = jax.random.fold_in(key, b)
+            g = jax.random.gumbel(kb, lcp_b.shape, dtype=jnp.float32)
+            pick = jnp.argmax(
+                jnp.where(jnp.isfinite(lcp_b), lcp_b + g, NEG_INF), axis=1
+            )
+            zb = jnp.take_along_axis(sid_b, pick[:, None], axis=1)[:, 0]
+            zb = jnp.where(jnp.any(jnp.isfinite(lcp_b), axis=1), zb, 0)
+            z = z.at[rows].set(zb)
+            counts = counts.at[zb].add(1.0)
+        return z, counts
+
+    def sweep(key, z, counts):
+        """One full Gibbs round (all buckets, blocked)."""
+        for b, (sid_b, lcp_b, rows) in enumerate(data.buckets):
+            n = sid_b.shape[0]
+            nblk = max(1, min(cfg.n_blocks, n))
+            blk = -(-n // nblk)
+            for j in range(nblk):
+                lo = j * blk
+                hi = min(n, lo + blk)
+                if lo >= hi:
+                    continue
+                kb = jax.random.fold_in(jax.random.fold_in(key, b), j)
+                rows_j = rows[lo:hi]
+                zb = z[rows_j]
+                new_zb = _sample_bucket(
+                    kb, sid_b[lo:hi], lcp_b[lo:hi], counts, zb, pseudo_d
+                )
+                counts = counts.at[zb].add(-1.0).at[new_zb].add(1.0)
+                z = z.at[rows_j].set(new_zb)
+        return z, counts
+
+    def expression_values(counts):
+        """theta -> polish -> tpm/fpkm, on device (Gibbs.cpp:317-323)."""
+        theta = jnp.where(counts < 0, 0.0, (counts + pseudo_d) / totc)
+        bad = (mw_d[1:] < EPSILON) | (eel_d[1:] < EPSILON)
+        t = theta.at[1:].set(jnp.where(bad, 0.0, theta[1:] / jnp.where(bad, 1.0, mw_d[1:])))
+        t = t / jnp.sum(t)
+        frac = jnp.where(eel_d[1:] >= EPSILON, t[1:], 0.0)
+        denom = jnp.maximum(jnp.sum(frac), EPSILON)
+        frac = frac / denom
+        fpkm = jnp.where(
+            eel_d[1:] >= EPSILON, frac * 1e9 / jnp.maximum(eel_d[1:], 1e-30), 0.0
+        )
+        denom2 = jnp.maximum(jnp.sum(fpkm), EPSILON)
+        tpm = fpkm / denom2 * 1e6
+        z = jnp.zeros(1, dtype=tpm.dtype)
+        return jnp.concatenate([z, tpm]), jnp.concatenate([z, fpkm])
+
+    def chain(key):
+        z, counts = init_chain(jax.random.fold_in(key, 0x7FFFFFFF))
+
+        acc0 = dict(
+            pme_c=jnp.zeros(M + 1, jnp.float64),
+            pve_c=jnp.zeros(M + 1, jnp.float64),
+            pme_tpm=jnp.zeros(M + 1, jnp.float64),
+            pme_fpkm=jnp.zeros(M + 1, jnp.float64),
+            pve_c_genes=jnp.zeros(m, jnp.float64),
+            pve_c_trans=jnp.zeros(max(m_trans, 1), jnp.float64),
+        )
+        cvs0 = jnp.zeros(
+            (samples_per_chain if cfg.keep_countvectors else 1, M + 1),
+            jnp.float32,
+        )
+
+        def round_body(r, state):
+            z, counts, acc, cvs = state
+            z, counts = sweep(jax.random.fold_in(key, r), z, counts)
+            retain = (r >= cfg.burnin) & (((r - cfg.burnin) % cfg.gap) == 0)
+
+            def do_retain(args):
+                acc, cvs = args
+                tpm, fpkm = expression_values(counts)
+                acc = dict(
+                    pme_c=acc["pme_c"] + counts,
+                    pve_c=acc["pve_c"] + counts.astype(jnp.float64) ** 2,
+                    pme_tpm=acc["pme_tpm"] + tpm,
+                    pme_fpkm=acc["pme_fpkm"] + fpkm,
+                    pve_c_genes=acc["pve_c_genes"]
+                    + jax.ops.segment_sum(counts[1:], gids, num_segments=m) ** 2,
+                    pve_c_trans=acc["pve_c_trans"]
+                    + (
+                        jax.ops.segment_sum(counts[1:], tids, num_segments=m_trans) ** 2
+                        if ta is not None
+                        else jnp.zeros(1, jnp.float64)
+                    ),
+                )
+                if cfg.keep_countvectors:
+                    idx = (r - cfg.burnin) // cfg.gap
+                    cvs = jax.lax.dynamic_update_slice(
+                        cvs, counts[None, :].astype(jnp.float32), (idx, 0)
+                    )
+                return acc, cvs
+
+            acc, cvs = jax.lax.cond(retain, do_retain, lambda a: a, (acc, cvs))
+            return z, counts, acc, cvs
+
+        _, _, acc, cvs = jax.lax.fori_loop(
+            0, cfg.burnin + chain_len, round_body, (z, counts, acc0, cvs0)
+        )
+        return acc, cvs
+
+    keys = jax.random.split(jax.random.PRNGKey(cfg.seed), C)
+    accs, cvs = jax.jit(jax.vmap(chain))(keys)
+
+    ns = cfg.nsamples
+    pme_c = np.asarray(accs["pme_c"].sum(axis=0)) / ns
+    pve_c = np.asarray(accs["pve_c"].sum(axis=0))
+    pve_c = (pve_c - ns * pme_c**2) / (ns - 1)
+    pve_c[pve_c < 0] = 0.0
+    pme_tpm = np.asarray(accs["pme_tpm"].sum(axis=0)) / ns
+    pme_fpkm = np.asarray(accs["pme_fpkm"].sum(axis=0)) / ns
+
+    gids_np = gi.gids_of(sids)
+    pme_c_genes = np.bincount(gids_np, weights=pme_c[1:], minlength=m)
+    pve_c_genes = np.asarray(accs["pve_c_genes"].sum(axis=0))
+    pve_c_genes = (pve_c_genes - ns * pme_c_genes**2) / (ns - 1)
+    pve_c_genes[pve_c_genes < 0] = 0.0
+
+    pve_c_trans = None
+    if ta is not None:
+        tids_np = ta.gids_of(sids)
+        pme_c_trans = np.bincount(tids_np, weights=pme_c[1:], minlength=m_trans)
+        pve_c_trans = np.asarray(accs["pve_c_trans"].sum(axis=0))
+        pve_c_trans = (pve_c_trans - ns * pme_c_trans**2) / (ns - 1)
+        pve_c_trans[pve_c_trans < 0] = 0.0
+
+    countvectors = None
+    if cfg.keep_countvectors:
+        countvectors = np.asarray(cvs).reshape(-1, M + 1)
+
+    return GibbsResult(
+        pme_c=pme_c,
+        pve_c=pve_c,
+        pme_tpm=pme_tpm,
+        pme_fpkm=pme_fpkm,
+        pve_c_genes=pve_c_genes,
+        pve_c_trans=pve_c_trans,
+        countvectors=countvectors,
+    )

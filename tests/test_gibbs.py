@@ -1,0 +1,89 @@
+"""Gibbs sampler tests on synthetic data."""
+
+import numpy as np
+import pytest
+
+from rsem_tpu.engine import EMConfig, run_em
+from rsem_tpu.engine.gibbs import GibbsConfig, run_gibbs
+from rsem_tpu.io import parse_alignments
+from rsem_tpu.model import GenerativeModel, ModelSpec
+from rsem_tpu.refprep.reference import Reference
+from rsem_tpu.refprep.transcripts import GroupInfo
+
+from test_em_end_to_end import T1, T2, T3, _make_reads
+
+
+@pytest.fixture(scope="module")
+def em_setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("gibbs")
+    header = ["@HD\tVN:1.0"]
+    for name, seq in [("t1", T1), ("t2", T2), ("t3", T3)]:
+        header.append(f"@SQ\tSN:{name}\tLN:{len(seq)}")
+    lines = header + _make_reads({"t1": 60, "t2": 120, "t3": 60})
+    p = d / "aln.sam"
+    p.write_text("\n".join(lines) + "\n")
+    ref = Reference(["t1", "t2", "t3"], [T1, T2, T3], [0, 0, 0])
+    bundle = parse_alignments(str(p), ["", "t1", "t2", "t3"], 1, False, 25)
+    spec = ModelSpec(model_type=1, seed_len=25)
+    model = GenerativeModel(spec, ref)
+    model.estimate_from_stats(bundle.stats)
+    res = run_em(model, ref, bundle, EMConfig())
+    gi = GroupInfo([1, 2, 3, 4])  # three single-isoform genes
+    return ref, bundle, res, gi
+
+
+def test_gibbs_posterior_means(em_setup):
+    ref, bundle, res, gi = em_setup
+    cfg = GibbsConfig(burnin=50, nsamples=200, n_chains=4, seed=11)
+    g = run_gibbs(
+        bundle.hits, res.log_conprb, res.log_ncp, ref.M, bundle.cnt.N0,
+        res.eel, res.model.mw, gi, cfg,
+    )
+    # posterior means close to EM expected counts on identifiable data
+    assert g.pme_c[1:].sum() + g.pme_c[0] == pytest.approx(
+        bundle.cnt.N0 + bundle.cnt.N1, rel=1e-6
+    )
+    np.testing.assert_allclose(g.pme_c[1:], res.counts[1:], rtol=0.15, atol=8)
+    # pme_tpm sums to ~1e6
+    assert g.pme_tpm.sum() == pytest.approx(1e6, rel=1e-3)
+    assert (g.pve_c >= 0).all()
+    # countvectors retained: shape and totals
+    assert g.countvectors.shape == (200, ref.M + 1)
+    np.testing.assert_allclose(
+        g.countvectors.sum(axis=1), bundle.cnt.N0 + bundle.cnt.N1
+    )
+
+
+def test_gibbs_deterministic(em_setup):
+    ref, bundle, res, gi = em_setup
+    cfg = GibbsConfig(burnin=10, nsamples=40, n_chains=4, seed=5,
+                      keep_countvectors=False)
+    g1 = run_gibbs(bundle.hits, res.log_conprb, res.log_ncp, ref.M,
+                   bundle.cnt.N0, res.eel, res.model.mw, gi, cfg)
+    g2 = run_gibbs(bundle.hits, res.log_conprb, res.log_ncp, ref.M,
+                   bundle.cnt.N0, res.eel, res.model.mw, gi, cfg)
+    np.testing.assert_array_equal(g1.pme_c, g2.pme_c)
+    np.testing.assert_array_equal(g1.pme_tpm, g2.pme_tpm)
+
+
+def test_gibbs_omit_and_prior(em_setup):
+    ref, bundle, res, gi = em_setup
+    cfg = GibbsConfig(burnin=10, nsamples=40, n_chains=4, seed=5,
+                      keep_countvectors=False)
+    # omit contract (Gibbs.cpp:152-167): omitted sids are absent from the
+    # alignment header, so no hit can reference them; their counts stay -1.
+    # Emulate with an extended reference containing a hit-less t4.
+    M4 = ref.M + 1
+    eel4 = np.concatenate([res.eel, [100.0]])
+    mw4 = np.concatenate([res.model.mw, [1.0]])
+    gi4 = type(gi)([1, 2, 3, 4, 5])
+    g = run_gibbs(bundle.hits, res.log_conprb, res.log_ncp, M4,
+                  bundle.cnt.N0, eel4, mw4, gi4, cfg, omit=np.array([4]))
+    assert g.pme_c[4] == -1.0  # stays at init -1 forever
+    # a strong prior on t1 shifts shared reads toward t1
+    prior = np.array([0.0, 50.0, 1.0, 1.0])
+    g2 = run_gibbs(bundle.hits, res.log_conprb, res.log_ncp, ref.M,
+                   bundle.cnt.N0, res.eel, res.model.mw, gi, cfg, prior=prior)
+    base = run_gibbs(bundle.hits, res.log_conprb, res.log_ncp, ref.M,
+                     bundle.cnt.N0, res.eel, res.model.mw, gi, cfg)
+    assert g2.pme_c[1] > base.pme_c[1]

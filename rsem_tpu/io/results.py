@@ -159,6 +159,51 @@ def write_isoform_results(
             f.write("\t".join(row) + "\n")
 
 
+def write_simulation_results(
+    out_prefix: str,
+    transcripts,
+    gi,
+    eel: np.ndarray,
+    counts: np.ndarray,
+    tlens: np.ndarray,
+):
+    """Ground-truth tables for simulated reads
+    (reference: WriteResults.h:481-635, writeResultsSimulation)."""
+    M = transcripts.M
+    tpm, fpkm = calc_expression_values(counts, eel)
+    gl = gene_level_values(gi, tlens, eel, counts, tpm, fpkm)
+
+    with open(f"{out_prefix}.sim.isoforms.results", "w") as f:
+        f.write(
+            "transcript_id\tgene_id\tlength\teffective_length\tcount\tTPM\t"
+            "FPKM\tIsoPct\n"
+        )
+        for i in range(1, M + 1):
+            tr = transcripts.get(i)
+            f.write(
+                f"{tr.transcript_id}\t{tr.gene_id}\t{int(tlens[i])}\t"
+                f"{eel[i]:.2f}\t{counts[i]:.2f}\t{tpm[i]:.2f}\t{fpkm[i]:.2f}\t"
+                f"{gl.isopct[i] * 100:.2f}\n"
+            )
+    with open(f"{out_prefix}.sim.genes.results", "w") as f:
+        f.write(
+            "gene_id\ttranscript_id(s)\tlength\teffective_length\tcount\tTPM\t"
+            "FPKM\n"
+        )
+        for g in range(gi.m):
+            b, e = gi.span(g)
+            tids = []
+            for j in range(b, e):
+                tid = transcripts.get(j).transcript_id
+                if not tids or tids[-1] != tid:
+                    tids.append(tid)
+            f.write(
+                f"{transcripts.get(b).gene_id}\t{','.join(tids)}\t"
+                f"{gl.lengths[g]:.2f}\t{gl.eels[g]:.2f}\t{gl.counts[g]:.2f}\t"
+                f"{gl.tpm[g]:.2f}\t{gl.fpkm[g]:.2f}\n"
+            )
+
+
 def write_gene_results(
     path: str,
     transcripts,

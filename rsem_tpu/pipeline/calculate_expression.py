@@ -1,0 +1,366 @@
+"""The master quantification driver (rsem-calculate-expression equivalent).
+
+One in-memory pipeline replaces the reference's Perl + per-stage executables +
+temp-file choreography (rsem-calculate-expression:371-816):
+
+  [align via external aligner if reads given] -> parse alignments -> model
+  estimation -> EM -> results; optionally collapsed Gibbs (--calc-pme) and
+  credibility intervals (--calc-ci).
+
+Interop artifacts (.cnt/.model/.theta/.mparams/.ofg) are still written under
+sample_name.stat/ and sample_name.temp/ so reference tooling (plots, EBSeq)
+keeps working.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import subprocess
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..constants import DEFAULT_SEED_LEN
+from ..engine import EMConfig, run_em
+from ..engine.em import write_theta_file
+from ..engine.gibbs import GibbsConfig, run_gibbs
+from ..engine.ci import CIConfig, run_ci
+from ..io import parse_alignments
+from ..io.results import (
+    GENE_TITLE_CI,
+    GENE_TITLE_PME,
+    ISO_TITLE_CI,
+    ISO_TITLE_PME,
+    gene_level_values,
+    write_gene_results,
+    write_isoform_results,
+)
+from ..io.sam import finalize_cnt
+from ..model import GenerativeModel, ModelSpec
+from ..refprep.reference import Reference
+from ..refprep.transcripts import GroupInfo, Transcripts
+
+
+@dataclass
+class ExpressionConfig:
+    """Mirrors the reference CLI surface (rsem-calculate-expression:129-205)."""
+
+    paired_end: bool = False
+    no_qualities: bool = False
+    strandedness: str = "none"  # none | forward | reverse
+    seed: Optional[int] = None
+    seed_length: int = DEFAULT_SEED_LEN
+    # model
+    fragment_length_min: int = 1
+    fragment_length_max: int = 1000
+    fragment_length_mean: float = -1.0
+    fragment_length_sd: float = 0.0
+    estimate_rspd: bool = False
+    num_rspd_bins: int = 20
+    # posterior
+    calc_pme: bool = False
+    calc_ci: bool = False
+    gibbs_burnin: int = 200
+    gibbs_number_of_samples: int = 1000
+    gibbs_sampling_gap: int = 1
+    ci_credibility_level: float = 0.95
+    ci_number_of_samples_per_count_vector: int = 50
+    single_cell_prior: bool = False
+    gibbs_chains: int = 8
+    # misc
+    append_names: bool = False
+    tag: str = "XM"
+    keep_intermediate_files: bool = False
+    quiet: bool = False
+
+    @property
+    def read_type(self) -> int:
+        return (2 if self.paired_end else 0) + (0 if self.no_qualities else 1)
+
+    @property
+    def probF(self) -> float:
+        return {"none": 0.5, "forward": 1.0, "reverse": 0.0}[self.strandedness]
+
+
+@dataclass
+class ExpressionResult:
+    em: object
+    gibbs: Optional[object] = None
+    ci: Optional[object] = None
+    cnt: Optional[object] = None
+
+
+def _stage_seeds(seed: Optional[int]):
+    if seed is None:
+        return [None, None, None]
+    rng = np.random.RandomState(seed)
+    return [int(x) for x in rng.randint(0, 2**31, size=3)]
+
+
+def calculate_expression(
+    alignments: str,
+    reference_name: str,
+    sample_name: str,
+    cfg: Optional[ExpressionConfig] = None,
+) -> ExpressionResult:
+    """alignments: SAM/BAM of transcript alignments (the --alignments path;
+    external aligner execution is up to the caller / `main`)."""
+    cfg = cfg or ExpressionConfig()
+    t_start = time.time()
+
+    sample_token = os.path.basename(sample_name)
+    temp_dir = f"{sample_name}.temp"
+    stat_dir = f"{sample_name}.stat"
+    os.makedirs(temp_dir, exist_ok=True)
+    os.makedirs(stat_dir, exist_ok=True)
+    imd = os.path.join(temp_dir, sample_token)
+    stat = os.path.join(stat_dir, sample_token)
+
+    # ---- reference ----
+    ref = Reference.load_seq(f"{reference_name}.seq")
+    ts = Transcripts.read_ti(f"{reference_name}.ti")
+    gi = GroupInfo.load(f"{reference_name}.grp")
+    allele = os.path.exists(f"{reference_name}.gt") and os.path.exists(
+        f"{reference_name}.ta"
+    )
+    ta = GroupInfo.load(f"{reference_name}.ta") if allele else None
+
+    names = [""] + [
+        (t.seqname if ts.is_allele_specific else t.transcript_id)
+        for t in ts.transcripts
+    ]
+
+    spec = ModelSpec(
+        model_type=cfg.read_type,
+        est_rspd=cfg.estimate_rspd,
+        B=cfg.num_rspd_bins,
+        minL=cfg.fragment_length_min,
+        maxL=cfg.fragment_length_max,
+        mate_minL=1,
+        mate_maxL=cfg.fragment_length_max,
+        mean=cfg.fragment_length_mean,
+        sd=cfg.fragment_length_sd,
+        probF=cfg.probF,
+        seed_len=cfg.seed_length,
+        has_polya=ref.has_polya,
+    )
+    spec.write_mparams(f"{imd}.mparams")
+
+    # ---- parse alignments (rsem-parse-alignments) ----
+    bundle = parse_alignments(
+        alignments, names, cfg.read_type, ref.has_polya, cfg.seed_length,
+        filter_tag=cfg.tag,
+    )
+    sid2gid = np.concatenate([[0], gi.gids_of(np.arange(1, ts.M + 1))])
+    finalize_cnt(bundle, sid2gid)
+    bundle.cnt.write(f"{stat}.cnt")
+    with open(f"{imd}.omit", "w") as f:
+        for sid in bundle.omit:
+            f.write(f"{sid}\n")
+
+    if bundle.cnt.N1 == 0:
+        raise RuntimeError("No alignable reads; nothing to estimate.")
+
+    # ---- EM ----
+    model = GenerativeModel(spec, ref)
+    model.estimate_from_stats(bundle.stats)
+    em = run_em(model, ref, bundle, EMConfig(verbose=not cfg.quiet))
+
+    model.write(f"{stat}.model")
+    write_theta_file(f"{stat}.theta", em.theta_raw, em.theta)
+
+    tlens = ts.lengths()
+    gl = gene_level_values(gi, tlens, em.eel, em.counts, em.tpm, em.fpkm)
+
+    iso_extra = []
+    gene_extra = []
+
+    # ---- Gibbs (--calc-pme / --calc-ci) ----
+    seeds = _stage_seeds(cfg.seed)
+    gres = None
+    cires = None
+    if cfg.calc_pme or cfg.calc_ci:
+        gcfg = GibbsConfig(
+            burnin=cfg.gibbs_burnin,
+            nsamples=cfg.gibbs_number_of_samples,
+            gap=cfg.gibbs_sampling_gap,
+            n_chains=cfg.gibbs_chains,
+            pseudo_count=0.1 if cfg.single_cell_prior else 1.0,
+            seed=seeds[1] if seeds[1] is not None else 0,
+            keep_countvectors=cfg.calc_ci,
+        )
+        gres = run_gibbs(
+            bundle.hits, em.log_conprb, em.log_ncp, ref.M, bundle.cnt.N0,
+            em.eel, model.mw, gi, gcfg, omit=bundle.omit, ta=ta,
+        )
+        isopct_pme = np.zeros(ref.M + 1)
+        gene_pme_tpm = np.bincount(
+            sid2gid[1:], weights=gres.pme_tpm[1:], minlength=gi.m
+        )
+        nz = gene_pme_tpm[sid2gid[1:]] >= 1e-300
+        isopct_pme[1:][nz] = (
+            gres.pme_tpm[1:][nz] / gene_pme_tpm[sid2gid[1:]][nz] * 100
+        )
+        iso_extra.append(
+            (
+                ISO_TITLE_PME,
+                np.stack(
+                    [
+                        gres.pme_c,
+                        np.sqrt(gres.pve_c),
+                        gres.pme_tpm,
+                        gres.pme_fpkm,
+                        isopct_pme,
+                    ]
+                ),
+            )
+        )
+        gene_pme_c = np.bincount(sid2gid[1:], weights=gres.pme_c[1:], minlength=gi.m)
+        gene_pme_fpkm = np.bincount(
+            sid2gid[1:], weights=gres.pme_fpkm[1:], minlength=gi.m
+        )
+        gene_extra.append(
+            (
+                GENE_TITLE_PME,
+                np.stack(
+                    [
+                        np.concatenate([[0], gene_pme_c])[1:],
+                        np.sqrt(gres.pve_c_genes),
+                        gene_pme_tpm,
+                        gene_pme_fpkm,
+                    ]
+                ),
+            )
+        )
+
+    # ---- credibility intervals (--calc-ci) ----
+    if cfg.calc_ci:
+        cicfg = CIConfig(
+            confidence=cfg.ci_credibility_level,
+            nspc=cfg.ci_number_of_samples_per_count_vector,
+            pseudo_count=0.1 if cfg.single_cell_prior else 1.0,
+            seed=seeds[2] if seeds[2] is not None else 0,
+        )
+        cires = run_ci(gres.countvectors, em.eel, model.mw, gi, cicfg, ta=ta)
+        iso_extra.append(
+            (
+                ISO_TITLE_CI,
+                np.stack(
+                    [
+                        cires.tpm.lb, cires.tpm.ub, cires.tpm.cqv,
+                        cires.fpkm.lb, cires.fpkm.ub, cires.fpkm.cqv,
+                    ]
+                ),
+            )
+        )
+        gene_extra.append(
+            (
+                GENE_TITLE_CI,
+                np.stack(
+                    [
+                        cires.gene_tpm.lb, cires.gene_tpm.ub, cires.gene_tpm.cqv,
+                        cires.gene_fpkm.lb, cires.gene_fpkm.ub,
+                        cires.gene_fpkm.cqv,
+                    ]
+                ),
+            )
+        )
+
+    # ---- final tables ----
+    write_isoform_results(
+        f"{sample_name}.isoforms.results", ts, tlens, em.eel, em.counts,
+        em.tpm, em.fpkm, gl.isopct, cfg.append_names, iso_extra,
+    )
+    write_gene_results(
+        f"{sample_name}.genes.results", ts, gi, gl, cfg.append_names, gene_extra
+    )
+
+    if not cfg.keep_intermediate_files:
+        shutil.rmtree(temp_dir, ignore_errors=True)
+
+    if not cfg.quiet:
+        print(
+            f"calculate_expression finished in {time.time() - t_start:.1f}s "
+            f"({em.rounds} EM rounds)."
+        )
+    return ExpressionResult(em=em, gibbs=gres, ci=cires, cnt=bundle.cnt)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rsem-tpu-calculate-expression",
+        description="Estimate expression from transcript alignments (SAM/BAM).",
+    )
+    p.add_argument("--alignments", required=True,
+                   help="SAM/BAM aligned to the transcript reference")
+    p.add_argument("reference_name")
+    p.add_argument("sample_name")
+    p.add_argument("--paired-end", action="store_true")
+    p.add_argument("--no-qualities", action="store_true")
+    p.add_argument("--strandedness", choices=["none", "forward", "reverse"],
+                   default="none")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--seed-length", type=int, default=DEFAULT_SEED_LEN)
+    p.add_argument("--fragment-length-min", type=int, default=1)
+    p.add_argument("--fragment-length-max", type=int, default=1000)
+    p.add_argument("--fragment-length-mean", type=float, default=-1.0)
+    p.add_argument("--fragment-length-sd", type=float, default=0.0)
+    p.add_argument("--estimate-rspd", action="store_true")
+    p.add_argument("--num-rspd-bins", type=int, default=20)
+    p.add_argument("--calc-pme", action="store_true")
+    p.add_argument("--calc-ci", action="store_true")
+    p.add_argument("--gibbs-burnin", type=int, default=200)
+    p.add_argument("--gibbs-number-of-samples", type=int, default=1000)
+    p.add_argument("--gibbs-sampling-gap", type=int, default=1)
+    p.add_argument("--ci-credibility-level", type=float, default=0.95)
+    p.add_argument("--ci-number-of-samples-per-count-vector", type=int,
+                   default=50)
+    p.add_argument("--single-cell-prior", action="store_true")
+    p.add_argument("--append-names", action="store_true")
+    p.add_argument("--tag", default="XM")
+    p.add_argument("--keep-intermediate-files", action="store_true")
+    p.add_argument("-q", "--quiet", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = ExpressionConfig(
+        paired_end=args.paired_end,
+        no_qualities=args.no_qualities,
+        strandedness=args.strandedness,
+        seed=args.seed,
+        seed_length=args.seed_length,
+        fragment_length_min=args.fragment_length_min,
+        fragment_length_max=args.fragment_length_max,
+        fragment_length_mean=args.fragment_length_mean,
+        fragment_length_sd=args.fragment_length_sd,
+        estimate_rspd=args.estimate_rspd,
+        num_rspd_bins=args.num_rspd_bins,
+        calc_pme=args.calc_pme,
+        calc_ci=args.calc_ci,
+        gibbs_burnin=args.gibbs_burnin,
+        gibbs_number_of_samples=args.gibbs_number_of_samples,
+        gibbs_sampling_gap=args.gibbs_sampling_gap,
+        ci_credibility_level=args.ci_credibility_level,
+        ci_number_of_samples_per_count_vector=(
+            args.ci_number_of_samples_per_count_vector
+        ),
+        single_cell_prior=args.single_cell_prior,
+        append_names=args.append_names,
+        tag=args.tag,
+        keep_intermediate_files=args.keep_intermediate_files,
+        quiet=args.quiet,
+    )
+    calculate_expression(args.alignments, args.reference_name,
+                         args.sample_name, cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -26,7 +26,9 @@ def synthesize_reference_transcripts(
     Writes `.ti/.grp[/.gt/.ta]/.transcripts.fa`.
     """
     assert tid2gid is None or allele_map is None
-    ts = Transcripts(type=2 if allele_map is not None else 0)
+    # type 1 = standalone transcript set, 2 = allele-specific
+    # (reference: synthesisRef.cpp:24,156)
+    ts = Transcripts(type=2 if allele_map is not None else 1)
     name2seq: Dict[str, str] = {}
     for path in fasta_paths:
         for tag, raw in read_fasta(path):

@@ -187,10 +187,106 @@ for keep in ("golden.stat/golden.model", "golden.stat/golden.theta",
              "golden.stat/golden.cnt"):
     shutil.copy(f"{cwd}/{keep}", f"{cwd}/golden.{keep.split('.')[-1]}")
 
+# ---------------------------------------------------------------- #
+# paired-end dataset (read_type 3) + goldens, with --estimate-rspd   #
+# ---------------------------------------------------------------- #
+PE_READS = 4000
+MATE_LEN = 40
+
+pe_lines = []
+for r in range(PE_READS):
+    ti = rng.choice(len(tids), p=expr)
+    seq = tx[tids[ti]]
+    tl = len(seq)
+    ins = int(np.clip(rng.normal(180, 25), 2 * MATE_LEN, min(tl, 400)))
+    if tl < ins:
+        ins = tl
+    pos = int(rng.integers(0, tl - ins + 1))
+    frag = seq[pos : pos + ins]
+    direction = int(rng.integers(0, 2))
+    if direction == 0:
+        m1, m2 = frag[:MATE_LEN], revcomp(frag[-MATE_LEN:])
+    else:
+        m1, m2 = revcomp(frag[-MATE_LEN:]), frag[:MATE_LEN]
+    q1 = "".join(chr(33 + q) for q in rng.integers(25, 40, MATE_LEN))
+    q2 = "".join(chr(33 + q) for q in rng.integers(25, 40, MATE_LEN))
+    # all exact alignments of the fragment
+    hits = []
+    for t2 in tids:
+        start = 0
+        while True:
+            p2 = tx[t2].find(frag, start)
+            if p2 < 0:
+                break
+            hits.append((t2, p2))
+            start = p2 + 1
+    first = True
+    for tname, p2 in hits:
+        sec = 0 if first else 256
+        if direction == 0:
+            # read1 fwd at p2, read2 rev at p2+ins-MATE_LEN
+            f1 = 0x1 | 0x2 | 0x40 | 0x20 | sec
+            f2 = 0x1 | 0x2 | 0x80 | 0x10 | sec
+            pe_lines.append(
+                f"P{r}\t{f1}\t{tname}\t{p2 + 1}\t255\t{MATE_LEN}M\t=\t"
+                f"{p2 + ins - MATE_LEN + 1}\t{ins}\t{m1}\t{q1}"
+            )
+            pe_lines.append(
+                f"P{r}\t{f2}\t{tname}\t{p2 + ins - MATE_LEN + 1}\t255\t"
+                f"{MATE_LEN}M\t=\t{p2 + 1}\t{-ins}\t"
+                f"{revcomp(m2)}\t{q2[::-1]}"
+            )
+        else:
+            # read1 rev at p2+ins-MATE_LEN, read2 fwd at p2
+            f1 = 0x1 | 0x2 | 0x40 | 0x10 | sec
+            f2 = 0x1 | 0x2 | 0x80 | 0x20 | sec
+            pe_lines.append(
+                f"P{r}\t{f1}\t{tname}\t{p2 + ins - MATE_LEN + 1}\t255\t"
+                f"{MATE_LEN}M\t=\t{p2 + 1}\t{-ins}\t"
+                f"{revcomp(m1)}\t{q1[::-1]}"
+            )
+            pe_lines.append(
+                f"P{r}\t{f2}\t{tname}\t{p2 + 1}\t255\t{MATE_LEN}M\t=\t"
+                f"{p2 + ins - MATE_LEN + 1}\t{ins}\t{m2}\t{q2}"
+            )
+        first = False
+for r in range(60):
+    m1 = rand_seq(MATE_LEN)
+    m2 = rand_seq(MATE_LEN)
+    q1 = "".join(chr(33 + q) for q in rng.integers(25, 40, MATE_LEN))
+    q2 = "".join(chr(33 + q) for q in rng.integers(25, 40, MATE_LEN))
+    pe_lines.append(f"PU{r}\t{0x1 | 0x4 | 0x8 | 0x40}\t*\t0\t0\t*\t*\t0\t0\t{m1}\t{q1}")
+    pe_lines.append(f"PU{r}\t{0x1 | 0x4 | 0x8 | 0x80}\t*\t0\t0\t*\t*\t0\t0\t{m2}\t{q2}")
+
+with gzip.open(f"{OUT}/aln_pe.sam.gz", "wt") as f:
+    f.write("\n".join(header + pe_lines) + "\n")
+with open(f"{OUT}/aln_pe.sam", "w") as f:
+    f.write("\n".join(header + pe_lines) + "\n")
+
+os.makedirs(f"{OUT}/gpe.temp", exist_ok=True)
+os.makedirs(f"{OUT}/gpe.stat", exist_ok=True)
+imd2 = f"{cwd}/gpe.temp/gpe"
+stat2 = f"{cwd}/gpe.stat/gpe"
+run([f"{RSEM}/rsem-parse-alignments", f"{cwd}/ref", imd2, stat2,
+     f"{cwd}/aln_pe.sam", "3", "-q"], cwd=cwd)
+run([f"{RSEM}/rsem-build-read-index", "32", "1", "0",
+     f"{imd2}_alignable_1.fq", f"{imd2}_alignable_2.fq"], cwd=cwd)
+with open(f"{imd2}.mparams", "w") as f:
+    f.write("1 1000\n0.5\n1\n20\n1 1000\n-1 0\n25\n")  # estRSPD on
+run([f"{RSEM}/rsem-run-em", f"{cwd}/ref", "3", f"{cwd}/gpe", imd2, stat2,
+     "-p", "4", "-q"], cwd=cwd)
+collect(f"{imd2}.iso_res", f"{cwd}/golden_pe.isoforms.results", iso_titles)
+collect(f"{imd2}.gene_res", f"{cwd}/golden_pe.genes.results", gene_titles)
+shutil.copy(f"{stat2}.model", f"{cwd}/golden_pe.model")
+shutil.copy(f"{stat2}.cnt", f"{cwd}/golden_pe.cnt")
+
 # clean big intermediates; keep inputs + goldens + reference artifacts
 os.remove(f"{OUT}/aln.sam")
+os.remove(f"{OUT}/aln_pe.sam")
 shutil.rmtree(f"{OUT}/golden.temp", ignore_errors=True)
 shutil.rmtree(f"{OUT}/golden.stat", ignore_errors=True)
+shutil.rmtree(f"{OUT}/gpe.temp", ignore_errors=True)
+shutil.rmtree(f"{OUT}/gpe.stat", ignore_errors=True)
 for f_ in os.listdir(OUT):
     if f_.endswith((".idx.fa", ".n2g.idx.fa")):
         os.remove(f"{OUT}/{f_}")

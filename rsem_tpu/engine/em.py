@@ -166,21 +166,46 @@ def run_em(
     log_ncp = ncp_fn(m1, m2, dev_model)
 
     # ---- model-update rounds (conprb recomputed each round) ----
+    # sufficient statistics run in the native C++ sidecar when available:
+    # tiny-table scatter is CPU-cache work (reference: EM.cpp mhp.update)
+    from ..native import get_lib, native_suffstats
+
+    use_native = get_lib() is not None
+
+    estep_jit = jax.jit(
+        lambda lt, lc, ln, hd_: estep_fracs(
+            lt, hd_.sid, hd_.rid, lc, ln, n_reads, M
+        )
+    )
+
     rounds = 0
     tot_num = 1
     while rounds < em_cfg.update_model_rounds and rounds < em_cfg.max_round:
         rounds += 1
         log_theta = jnp.asarray(_safe_log_np(theta), dtype=jnp.float32)
-        new_theta, counts, suff = round_fn(
-            log_theta, log_conprb, log_ncp, dev_model, refd, m1, m2, hd,
-            with_suff=True,
-        )
-        suff_np = {k: np.asarray(v, dtype=np.float64) for k, v in suff.items()}
+        if use_native:
+            out = estep_jit(log_theta, log_conprb, log_ncp, hd)
+            counts = np.asarray(out.counts, dtype=np.float64)
+            counts[0] += N0
+            new_theta = counts / counts.sum()
+            frac_hit = np.asarray(out.frac_hit)[: bundle.hits.n_hits]
+            frac_noise = np.asarray(out.frac_noise)[: bundle.reads.n]
+            suff_np = native_suffstats(
+                bundle.hits, frac_hit, frac_noise, bundle.reads, ref, model
+            )
+        else:
+            new_theta, counts, suff = round_fn(
+                log_theta, log_conprb, log_ncp, dev_model, refd, m1, m2, hd,
+                with_suff=True,
+            )
+            new_theta = np.asarray(new_theta, dtype=np.float64)
+            suff_np = {
+                k: np.asarray(v, dtype=np.float64) for k, v in suff.items()
+            }
         model.finish_round(suff_np)
         dev_model = to_dev(model.device_arrays())
         log_conprb = conprb_fn(refd, m1, m2, hd, dev_model)
         log_ncp = ncp_fn(m1, m2, dev_model)
-        new_theta = np.asarray(new_theta, dtype=np.float64)
         bchg, tot_num = _bchange(new_theta, theta)
         theta = new_theta
         if em_cfg.verbose:

@@ -191,6 +191,9 @@ def _rspd_stats(cfg, ref, m1, hits, frac_hit, model, probF):
 
     def overlaps(fpos, full_len, frac):
         """[C, B] fractional-bin spreading of each position interval."""
+        # padding lanes carry sid 0 whose full_len is 0; they have frac 0 but
+        # must not poison the sum with inf/NaN
+        full_len = jnp.maximum(full_len, 1)
         lo = fpos.astype(jnp.float32) / full_len.astype(jnp.float32)
         hi = (fpos.astype(jnp.float32) + 1.0) / full_len.astype(jnp.float32)
         edges = jnp.arange(B + 1, dtype=jnp.float32) / B

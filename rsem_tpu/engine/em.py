@@ -1,16 +1,21 @@
 """The EM quantification engine (reference: EM.cpp).
 
-Structure per round:
-  rounds 1..UPDATE_MODEL_ROUNDS ("model rounds"): recompute per-hit log
-    conprb on device (model changed), run the segment-softmax E-step, pull
-    tiny sufficient-statistic tensors to the host, re-normalize the model in
-    float64, recompute masking weights — mirroring E_STEP + collect/finish
-    (EM.cpp:364-416).
-  later rounds ("theta rounds"): conprb is frozen; each round is a single
-    jitted theta iteration (segment softmax + scatter-add + renormalize).
+Hybrid execution model, playing each processor to its strengths:
 
-Convergence: max relative theta change over theta >= 1e-7 below 1e-3, with
-round count in [MIN_ROUND, MAX_ROUND] (EM.cpp:53-55,407-416).
+  * model-update rounds (1..10): per-base likelihood (conprb) and
+    sufficient-statistic scatter into tiny tables are random-access work on
+    KB-sized tables — CPU-cache territory. They run in the multithreaded
+    C++ sidecar (rsem_tpu/native) with exact float64 reference semantics
+    (E_STEP + collect/finish, EM.cpp:177-247,400-404).
+  * theta-only rounds (the long tail, hundreds to thousands of rounds):
+    dense O(nHits) segment-softmax iterations run on the TPU inside a single
+    lax.while_loop (ops/fast_estep), scaling with chips via shard_map.
+
+A pure-JAX path (`backend='device'`) covers toolchain-free environments and
+serves as the cross-check in tests.
+
+Convergence: max relative theta change over theta >= 1e-7 below 1e-3, round
+count in [MIN_ROUND, MAX_ROUND] (EM.cpp:53-55,407-416).
 """
 
 from __future__ import annotations
@@ -32,21 +37,15 @@ from ..constants import (
     THETA_CUT,
     UPDATE_MODEL_ROUNDS,
 )
-from ..io.hits import HitArrays
-from ..io.results import (
-    calc_expression_values,
-    gene_level_values,
-    polish_theta,
-)
+from ..io.results import calc_expression_values, polish_theta
 from ..model.generative import GenerativeModel
-from ..model.spec import ModelSpec
 from ..ops.conprb import (
     CHUNK,
+    _ceil_to,
     compute_log_conprb,
     compute_log_noise_conprb,
-    _ceil_to,
 )
-from ..ops.estep import em_step, estep_fracs, suffstats
+from ..ops.estep import estep_fracs, suffstats
 from ..ops.layout import HitsDevice, KernelConfig, ReadsDevice, RefDevice
 
 
@@ -57,19 +56,20 @@ class EMConfig:
     max_round: int = MAX_ROUND
     stop_criteria: float = STOP_CRITERIA
     verbose: bool = False
+    backend: str = "auto"  # auto | hybrid | device | native
+    theta_backend: str = "device"  # device (TPU loop) | native (CPU loop)
 
 
 @dataclass
 class EMResult:
-    theta_raw: np.ndarray  # theta' before eel/mw polish [M+1]
-    theta: np.ndarray  # polished theta
-    counts: np.ndarray  # expected counts [M+1]
+    theta_raw: np.ndarray
+    theta: np.ndarray
+    counts: np.ndarray
     eel: np.ndarray
     tpm: np.ndarray
     fpkm: np.ndarray
     model: GenerativeModel
     rounds: int
-    # posterior weights for BAM writeback / Gibbs input
     frac_hit: Optional[np.ndarray] = None
     frac_noise: Optional[np.ndarray] = None
     log_conprb: Optional[np.ndarray] = None
@@ -83,23 +83,121 @@ def _bchange(theta_new: np.ndarray, theta_old: np.ndarray):
     return change.max(initial=0.0), int((change >= STOP_CRITERIA).sum())
 
 
-def run_em(
-    model: GenerativeModel,
-    ref,
-    bundle,
-    em_cfg: Optional[EMConfig] = None,
-    need_posteriors: bool = True,
-) -> EMResult:
-    """model: GenerativeModel already initialized via estimate_from_stats;
-    ref: refprep.Reference; bundle: io.AlignmentBundle."""
-    em_cfg = em_cfg or EMConfig()
+def _theta_init(cnt, M: int) -> np.ndarray:
+    theta = np.empty(M + 1)
+    theta[0] = max(cnt.N0 / (cnt.n_tot - cnt.N2), 1e-8)
+    theta[1:] = (1.0 - theta[0]) / M
+    return theta
+
+
+def _safe_log_np(x: np.ndarray) -> np.ndarray:
+    with np.errstate(divide="ignore"):
+        return np.log(x)
+
+
+def _finish(model, ref, bundle, theta, counts, rounds, frac_hit, frac_noise,
+            lcp_np, lnp_np, need_posteriors) -> EMResult:
+    theta_raw = theta.copy()
+    eel = model.calc_eel()
+    theta_polished = polish_theta(theta, eel, model.mw)
+    tpm, fpkm = calc_expression_values(theta_polished, eel)
+    res = EMResult(
+        theta_raw=theta_raw, theta=theta_polished, counts=counts, eel=eel,
+        tpm=tpm, fpkm=fpkm, model=model, rounds=rounds,
+    )
+    if need_posteriors:
+        res.frac_hit = frac_hit
+        res.frac_noise = frac_noise
+        res.log_conprb = lcp_np
+        res.log_ncp = lnp_np
+    return res
+
+
+# --------------------------------------------------------------------- #
+# hybrid path: native model rounds + TPU theta loop                      #
+# --------------------------------------------------------------------- #
+def _run_em_hybrid(model, ref, bundle, em_cfg, need_posteriors) -> EMResult:
+    from ..native import native_conprb, native_em_count_step, native_suffstats
+
+    cnt = bundle.cnt
+    M = ref.M
+    N0 = cnt.N0
+    theta = _theta_init(cnt, M)
+
+    rounds = 0
+    conprb = ncp = None
+    while rounds < em_cfg.update_model_rounds and rounds < em_cfg.max_round:
+        rounds += 1
+        conprb, ncp = native_conprb(bundle.hits, bundle.reads, ref, model)
+        frac, frac_noise, counts = native_em_count_step(
+            bundle.hits, conprb, ncp, theta, M
+        )
+        counts[0] += N0
+        new_theta = counts / counts.sum()
+        suff = native_suffstats(
+            bundle.hits, frac.astype(np.float32),
+            frac_noise.astype(np.float32), bundle.reads, ref, model,
+        )
+        model.finish_round(suff)
+        bchg, _tot = _bchange(new_theta, theta)
+        theta = new_theta
+        if em_cfg.verbose:
+            print(f"ROUND = {rounds}, bChange = {bchg:.6g}")
+
+    # final model -> final conprbs
+    conprb, ncp = native_conprb(bundle.hits, bundle.reads, ref, model)
+    lcp_np = _safe_log_np(conprb)
+    lnp_np = _safe_log_np(ncp)
+
+    if em_cfg.theta_backend == "native":
+        tot_num = 1
+        while rounds < em_cfg.min_round or (
+            tot_num > 0 and rounds < em_cfg.max_round
+        ):
+            rounds += 1
+            _f, _fn, counts = native_em_count_step(
+                bundle.hits, conprb, ncp, theta, M
+            )
+            counts[0] += N0
+            new_theta = counts / counts.sum()
+            _b, tot_num = _bchange(new_theta, theta)
+            theta = new_theta
+    else:
+        from ..ops.fast_estep import build_fast_data, run_fast_em_loop
+
+        fdata = build_fast_data(bundle.hits, lcp_np, lnp_np, M, float(N0))
+        loop_fn = jax.jit(
+            partial(
+                run_fast_em_loop,
+                min_round=em_cfg.min_round,
+                max_round=em_cfg.max_round,
+            )
+        )
+        theta_dev, counts_dev, rounds_dev = loop_fn(
+            jnp.asarray(theta, dtype=jnp.float32), fdata,
+            start_round=jnp.asarray(rounds, dtype=jnp.int32),
+        )
+        theta = np.asarray(theta_dev, dtype=np.float64)
+        rounds = int(rounds_dev)
+
+    # final expected weights & counts (EM.cpp:460-478)
+    frac_hit, frac_noise, counts = native_em_count_step(
+        bundle.hits, conprb, ncp, theta, M
+    )
+    counts[0] += N0
+    return _finish(model, ref, bundle, theta, counts, rounds, frac_hit,
+                   frac_noise, lcp_np, lnp_np, need_posteriors)
+
+
+# --------------------------------------------------------------------- #
+# pure device path                                                       #
+# --------------------------------------------------------------------- #
+def _run_em_device(model, ref, bundle, em_cfg, need_posteriors) -> EMResult:
     spec = model.spec
     cnt = bundle.cnt
     M = ref.M
-    N0, N1, N2, N_tot = cnt.N0, cnt.N1, cnt.N2, cnt.n_tot
-    assert N1 > 0, "No alignable reads"
+    N0 = cnt.N0
 
-    # ---- device data ----
     refd = RefDevice.from_reference(ref)
     if spec.paired:
         m1 = ReadsDevice.from_arrays(bundle.reads.mate1)
@@ -112,106 +210,60 @@ def run_em(
     max_read_len = m1.codes.shape[1] if m2 is None else max(
         m1.codes.shape[1], m2.codes.shape[1]
     )
-    # pad mates to a common L so one KernelConfig serves both
     if m2 is not None and m1.codes.shape[1] != m2.codes.shape[1]:
         def _repad(r: ReadsDevice) -> ReadsDevice:
             padL = max_read_len - r.codes.shape[1]
             return r._replace(
                 codes=jnp.pad(r.codes, ((0, 0), (0, padL))),
-                quals=jnp.pad(r.quals, ((0, 0), (0, padL))) if r.quals is not None else None,
+                quals=jnp.pad(r.quals, ((0, 0), (0, padL)))
+                if r.quals is not None else None,
             )
         m1, m2 = _repad(m1), _repad(m2)
     kcfg = KernelConfig.from_model(model, max_read_len)
-
     n_reads = m1.lens.shape[0]
 
-    # device arrays are passed as jit arguments (not closure constants) so
-    # executables stay small and buffers are donated/shared across calls
     conprb_fn = jax.jit(partial(compute_log_conprb, kcfg))
     ncp_fn = jax.jit(partial(compute_log_noise_conprb, kcfg))
 
-    @partial(jax.jit, static_argnames=("with_suff",))
-    def round_fn(log_theta, log_conprb, log_ncp, dev_model, refd_, m1_, m2_,
-                 hd_, with_suff: bool):
+    @jax.jit
+    def round_fn(log_theta, log_conprb, log_ncp, dev_model, refd_, m1_, m2_, hd_):
         out = estep_fracs(
             log_theta, hd_.sid, hd_.rid, log_conprb, log_ncp, n_reads, M
         )
         counts = out.counts.at[0].add(float(N0))
         theta = counts / jnp.sum(counts)
-        if with_suff:
-            suff = suffstats(
-                kcfg, refd_, m1_, m2_, hd_, out.frac_hit, out.frac_noise,
-                dev_model, float(spec.probF),
-            )
-            return theta, counts, suff
-        return theta, counts, None
-
-    @jax.jit
-    def theta_step(log_theta, log_conprb, log_ncp, hd_):
-        return em_step(
-            log_theta, hd_.sid, hd_.rid, log_conprb, log_ncp,
-            n_reads, M, float(N0),
+        suff = suffstats(
+            kcfg, refd_, m1_, m2_, hd_, out.frac_hit, out.frac_noise,
+            dev_model, float(spec.probF),
         )
+        return theta, counts, suff
 
     def to_dev(model_np: Dict[str, np.ndarray]):
         return {k: jnp.asarray(v, dtype=jnp.float32) for k, v in model_np.items()}
 
-    # ---- theta init (EM.cpp:343-346) ----
-    theta = np.empty(M + 1)
-    theta[0] = max(N0 / (N_tot - N2), 1e-8)
-    theta[1:] = (1.0 - theta[0]) / M
-
+    theta = _theta_init(cnt, M)
     dev_model = to_dev(model.device_arrays())
     log_conprb = conprb_fn(refd, m1, m2, hd, dev_model)
     log_ncp = ncp_fn(m1, m2, dev_model)
 
-    # ---- model-update rounds (conprb recomputed each round) ----
-    # sufficient statistics run in the native C++ sidecar when available:
-    # tiny-table scatter is CPU-cache work (reference: EM.cpp mhp.update)
-    from ..native import get_lib, native_suffstats
-
-    use_native = get_lib() is not None
-
-    estep_jit = jax.jit(
-        lambda lt, lc, ln, hd_: estep_fracs(
-            lt, hd_.sid, hd_.rid, lc, ln, n_reads, M
-        )
-    )
-
     rounds = 0
-    tot_num = 1
     while rounds < em_cfg.update_model_rounds and rounds < em_cfg.max_round:
         rounds += 1
         log_theta = jnp.asarray(_safe_log_np(theta), dtype=jnp.float32)
-        if use_native:
-            out = estep_jit(log_theta, log_conprb, log_ncp, hd)
-            counts = np.asarray(out.counts, dtype=np.float64)
-            counts[0] += N0
-            new_theta = counts / counts.sum()
-            frac_hit = np.asarray(out.frac_hit)[: bundle.hits.n_hits]
-            frac_noise = np.asarray(out.frac_noise)[: bundle.reads.n]
-            suff_np = native_suffstats(
-                bundle.hits, frac_hit, frac_noise, bundle.reads, ref, model
-            )
-        else:
-            new_theta, counts, suff = round_fn(
-                log_theta, log_conprb, log_ncp, dev_model, refd, m1, m2, hd,
-                with_suff=True,
-            )
-            new_theta = np.asarray(new_theta, dtype=np.float64)
-            suff_np = {
-                k: np.asarray(v, dtype=np.float64) for k, v in suff.items()
-            }
+        new_theta, counts, suff = round_fn(
+            log_theta, log_conprb, log_ncp, dev_model, refd, m1, m2, hd
+        )
+        suff_np = {k: np.asarray(v, dtype=np.float64) for k, v in suff.items()}
         model.finish_round(suff_np)
         dev_model = to_dev(model.device_arrays())
         log_conprb = conprb_fn(refd, m1, m2, hd, dev_model)
         log_ncp = ncp_fn(m1, m2, dev_model)
-        bchg, tot_num = _bchange(new_theta, theta)
+        new_theta = np.asarray(new_theta, dtype=np.float64)
+        bchg, _ = _bchange(new_theta, theta)
         theta = new_theta
         if em_cfg.verbose:
-            print(f"ROUND = {rounds}, bChange = {bchg:.6g}, totNum = {tot_num}")
+            print(f"ROUND = {rounds}, bChange = {bchg:.6g}")
 
-    # ---- theta-only rounds: on-device while_loop over the fast layout ----
     from ..ops.fast_estep import (
         build_fast_data,
         fast_final_fracs,
@@ -221,14 +273,9 @@ def run_em(
     lcp_np = np.asarray(log_conprb, dtype=np.float64)[: bundle.hits.n_hits]
     lnp_np = np.asarray(log_ncp, dtype=np.float64)[: bundle.hits.n_reads]
     fdata = build_fast_data(bundle.hits, lcp_np, lnp_np, M, float(N0))
-
     loop_fn = jax.jit(
-        partial(
-            run_fast_em_loop,
-            min_round=em_cfg.min_round,
-            max_round=em_cfg.max_round,
-        ),
-        static_argnames=(),
+        partial(run_fast_em_loop, min_round=em_cfg.min_round,
+                max_round=em_cfg.max_round)
     )
     theta_dev, counts_dev, rounds_dev = loop_fn(
         jnp.asarray(theta, dtype=jnp.float32), fdata,
@@ -237,41 +284,40 @@ def run_em(
     theta = np.asarray(theta_dev, dtype=np.float64)
     rounds = int(rounds_dev)
 
-    # ---- final pass: expected weights & counts (EM.cpp:460-478) ----
     final_fn = jax.jit(fast_final_fracs)
     frac_hit, frac_noise = final_fn(jnp.asarray(theta, dtype=jnp.float32), fdata)
     frac_hit = np.asarray(frac_hit, dtype=np.float64)[: bundle.hits.n_hits]
-    frac_noise = np.asarray(frac_noise, dtype=np.float64)
+    frac_noise = np.asarray(frac_noise, dtype=np.float64)[: bundle.reads.n]
     counts = np.zeros(M + 1)
     np.add.at(counts, bundle.hits.sid, frac_hit)
     counts[0] = frac_noise.sum() + N0
-
-    theta_raw = theta.copy()
-    eel = model.calc_eel()
-    theta_polished = polish_theta(theta, eel, model.mw)
-    tpm, fpkm = calc_expression_values(theta_polished, eel)
-
-    res = EMResult(
-        theta_raw=theta_raw,
-        theta=theta_polished,
-        counts=counts,
-        eel=eel,
-        tpm=tpm,
-        fpkm=fpkm,
-        model=model,
-        rounds=rounds,
-    )
-    if need_posteriors:
-        res.frac_hit = frac_hit
-        res.frac_noise = frac_noise[: bundle.reads.n]
-        res.log_conprb = lcp_np
-        res.log_ncp = lnp_np
-    return res
+    return _finish(model, ref, bundle, theta, counts, rounds, frac_hit,
+                   frac_noise, lcp_np, lnp_np, need_posteriors)
 
 
-def _safe_log_np(x: np.ndarray) -> np.ndarray:
-    with np.errstate(divide="ignore"):
-        return np.log(x)
+def run_em(
+    model: GenerativeModel,
+    ref,
+    bundle,
+    em_cfg: Optional[EMConfig] = None,
+    need_posteriors: bool = True,
+) -> EMResult:
+    """model: GenerativeModel already initialized via estimate_from_stats;
+    ref: refprep.Reference; bundle: io.AlignmentBundle."""
+    em_cfg = em_cfg or EMConfig()
+    assert bundle.cnt.N1 > 0, "No alignable reads"
+
+    backend = em_cfg.backend
+    if backend == "auto":
+        from ..native import get_lib
+
+        lib = get_lib()
+        backend = "hybrid" if (lib is not None and hasattr(lib, "conprb")) else "device"
+    if backend in ("hybrid", "native"):
+        if backend == "native":
+            em_cfg = EMConfig(**{**em_cfg.__dict__, "theta_backend": "native"})
+        return _run_em_hybrid(model, ref, bundle, em_cfg, need_posteriors)
+    return _run_em_device(model, ref, bundle, em_cfg, need_posteriors)
 
 
 def write_theta_file(path: str, theta_raw: np.ndarray, theta: np.ndarray):

@@ -237,7 +237,229 @@ void noise_worker(const Args& a, int64_t lo, int64_t hi, Acc& acc) {
   }
 }
 
+// ------------------------------------------------------------------ //
+// conprb: per-hit alignment likelihood, exact float64 reference math   //
+// (SingleModel.h:95-146, SingleQModel.h:101-151, PairedEndModel.h:90-  //
+// 135, PairedEndQModel.h:94-138)                                       //
+// ------------------------------------------------------------------ //
+struct CArgs : Args {
+  const double* pro;      // [pro_len*25] linear probabilities
+  const double* npro;     // [500] or [5]
+  const double* mw;       // [M+1]
+  const int32_t* mask_start;  // [M+1]
+  double ori[2];
+  int seed_len;
+  const uint8_t* lq;  // [N] low-quality flags
+  double* out_conprb;  // [H]
+  double* out_ncp;     // [N]
+};
+
+inline double profile_prob(const CArgs& a, const uint8_t* codes,
+                           const uint8_t* quals, int len, int32_t s,
+                           int64_t p, int d) {
+  double prob = 1.0;
+  for (int j = 0; j < len; j++) {
+    int rc = ref_base(a, s, p + j, d);
+    int key = a.has_qual ? quals[j] : j;
+    prob *= a.pro[(size_t)(key * 5 + rc) * 5 + codes[j]];
+  }
+  return prob;
+}
+
+void conprb_worker(const CArgs& a, int64_t lo, int64_t hi) {
+  for (int64_t h = lo; h < hi; h++) {
+    int32_t r = a.rid[h];
+    int32_t s = a.sid[h];
+    int d = a.dir[h];
+    int64_t p = a.pos[h];
+    int64_t tl = a.tot_len[s];
+    int64_t fl = a.full_len[s];
+    int64_t ms = a.mask_start[s];
+    const uint8_t* c1 = a.codes1 + (size_t)r * a.max_len;
+    const uint8_t* q1 = a.has_qual ? a.quals1 + (size_t)r * a.max_len : nullptr;
+    int l1 = a.lens1[r];
+    double prob = 0.0;
+
+    if (a.lq[r]) { a.out_conprb[h] = 0.0; continue; }
+
+    if (a.paired) {
+      int64_t ins = a.insert_len[h];
+      int64_t fpos = d ? tl - p - ins : p;
+      int64_t effL = std::min(fl, tl - ins + 1);
+      if (fpos >= fl || (fpos >= ms && fpos < fl)) { a.out_conprb[h] = 0.0; continue; }
+      prob = a.ori[d] * gld_adj(a, (int)ins, tl) * rspd_adj(a, fpos, effL, fl);
+      prob *= mld_adj(a, l1, ins) * profile_prob(a, c1, q1, l1, s, p, d);
+      const uint8_t* c2 = a.codes2 + (size_t)r * a.max_len;
+      const uint8_t* q2 = a.has_qual ? a.quals2 + (size_t)r * a.max_len : nullptr;
+      int l2 = a.lens2[r];
+      prob *= mld_adj(a, l2, ins) *
+              profile_prob(a, c2, q2, l2, s, tl - p - ins, 1 - d);
+    } else {
+      int64_t fpos = d ? tl - p - l1 : p;
+      int64_t seed_pos = d ? tl - p - a.seed_len : p;
+      if (seed_pos >= fl || (seed_pos >= ms && seed_pos < fl)) {
+        a.out_conprb[h] = 0.0;
+        continue;
+      }
+      double value;
+      if (a.use_mld_single) {
+        int minL = std::max((int64_t)l1, (int64_t)a.gld_lb + 1);
+        int maxL = (int)std::min<int64_t>(tl - p, a.gld_ub);
+        value = 0.0;
+        for (int fragLen = minL; fragLen <= maxL; fragLen++) {
+          int64_t pf = d ? tl - p - fragLen : p;
+          int64_t effL = std::min(fl, tl - fragLen + 1);
+          value += gld_adj(a, fragLen, tl) * rspd_adj(a, pf, effL, fl) *
+                   mld_adj(a, l1, fragLen);
+        }
+      } else {
+        int64_t effL = std::min(fl, tl - (int64_t)l1 + 1);
+        value = gld_adj(a, l1, tl) * rspd_adj(a, fpos, effL, fl);
+      }
+      prob = a.ori[d] * value * profile_prob(a, c1, q1, l1, s, p, d);
+    }
+    if (prob < 1e-300) prob = 0.0;
+    a.out_conprb[h] = (a.mw[s] < 1e-300 ? 0.0 : prob / a.mw[s]);
+  }
+}
+
+void noise_conprb_worker(const CArgs& a, int64_t lo, int64_t hi) {
+  for (int64_t r = lo; r < hi; r++) {
+    if (a.lq[r]) { a.out_ncp[r] = 0.0; continue; }
+    const uint8_t* c1 = a.codes1 + (size_t)r * a.max_len;
+    int l1 = a.lens1[r];
+    double prob;
+    // length term: mld pdf if present else gld pdf (getNoiseConPrb)
+    auto len_pdf = [&](int len) {
+      if (a.paired || a.use_mld_single) {
+        if (len <= a.mld_lb || len > a.mld_ub) return 0.0;
+        return a.mld_pdf[len - a.mld_lb];
+      }
+      if (len <= a.gld_lb || len > a.gld_ub) return 0.0;
+      return a.gld_pdf[len - a.gld_lb];
+    };
+    auto noise_prob = [&](const uint8_t* c, const uint8_t* q, int len) {
+      double pr = 1.0;
+      for (int j = 0; j < len; j++)
+        pr *= a.has_qual ? a.npro[q[j] * 5 + c[j]] : a.npro[c[j]];
+      return pr;
+    };
+    const uint8_t* q1 = a.has_qual ? a.quals1 + (size_t)r * a.max_len : nullptr;
+    prob = len_pdf(l1) * noise_prob(c1, q1, l1);
+    if (a.paired) {
+      const uint8_t* c2 = a.codes2 + (size_t)r * a.max_len;
+      const uint8_t* q2 = a.has_qual ? a.quals2 + (size_t)r * a.max_len : nullptr;
+      int l2 = a.lens2[r];
+      prob *= len_pdf(l2) * noise_prob(c2, q2, l2);
+    }
+    if (prob < 1e-300) prob = 0.0;
+    a.out_ncp[r] = prob;  // mw[0] == 1 always
+  }
+}
+
 }  // namespace
+
+extern "C" void conprb(
+    int64_t n_hits, const int32_t* rid, const int32_t* sid, const int8_t* dir,
+    const int32_t* pos, const int32_t* insert_len,
+    const uint8_t* codes1, const uint8_t* quals1, const int32_t* lens1,
+    const uint8_t* codes2, const uint8_t* quals2, const int32_t* lens2,
+    int64_t n_reads, int64_t max_len, const uint8_t* lq,
+    const uint8_t* ref_codes, const int64_t* ref_offsets,
+    const int32_t* tot_len, const int32_t* full_len,
+    const int32_t* mask_start, int has_qual, int paired, int est_rspd, int B,
+    double probF, int pro_len, int seed_len, int gld_lb, int gld_ub,
+    int mld_lb, int mld_ub, int use_mld_single, const double* gld_pdf,
+    const double* gld_cdf, const double* mld_pdf, const double* mld_cdf,
+    const double* rspd_pdf, const double* rspd_cdf, const double* pro,
+    const double* npro, const double* mw, int n_threads, double* out_conprb,
+    double* out_ncp) {
+  CArgs a{};
+  a.n_hits = n_hits; a.rid = rid; a.sid = sid; a.dir = dir; a.pos = pos;
+  a.insert_len = insert_len; a.frac = nullptr;
+  a.codes1 = codes1; a.quals1 = quals1; a.lens1 = lens1;
+  a.codes2 = codes2; a.quals2 = quals2; a.lens2 = lens2;
+  a.n_reads = n_reads; a.max_len = max_len; a.frac_noise = nullptr;
+  a.ref_codes = ref_codes; a.ref_offsets = ref_offsets;
+  a.tot_len = tot_len; a.full_len = full_len;
+  a.has_qual = has_qual; a.paired = paired; a.est_rspd = est_rspd; a.B = B;
+  a.probF = probF; a.pro_len = pro_len;
+  a.gld_lb = gld_lb; a.gld_ub = gld_ub; a.mld_lb = mld_lb; a.mld_ub = mld_ub;
+  a.use_mld_single = use_mld_single;
+  a.gld_pdf = gld_pdf; a.gld_cdf = gld_cdf; a.mld_pdf = mld_pdf;
+  a.mld_cdf = mld_cdf; a.rspd_pdf = rspd_pdf; a.rspd_cdf = rspd_cdf;
+  a.pro = pro; a.npro = npro; a.mw = mw; a.mask_start = mask_start;
+  a.ori[0] = probF; a.ori[1] = 1.0 - probF;
+  a.seed_len = seed_len; a.lq = lq;
+  a.out_conprb = out_conprb; a.out_ncp = out_ncp;
+
+  int nt = std::max(1, n_threads);
+  std::vector<std::thread> threads;
+  int64_t per = (n_hits + nt - 1) / nt;
+  for (int t = 0; t < nt; t++) {
+    int64_t lo = t * per, hi = std::min<int64_t>(n_hits, lo + per);
+    threads.emplace_back([&, lo, hi] { conprb_worker(a, lo, hi); });
+  }
+  for (auto& th : threads) th.join();
+  threads.clear();
+  int64_t perr = (n_reads + nt - 1) / nt;
+  for (int t = 0; t < nt; t++) {
+    int64_t lo = t * perr, hi = std::min<int64_t>(n_reads, lo + perr);
+    threads.emplace_back([&, lo, hi] { noise_conprb_worker(a, lo, hi); });
+  }
+  for (auto& th : threads) th.join();
+}
+
+// One E-step over cached conprbs: per-read responsibilities + expected
+// counts (EM.cpp:199-244 with needCalcConPrb=false). Used for the model
+// rounds' fracs; the long theta-only iteration runs on the TPU instead.
+extern "C" void em_count_step(
+    int64_t n_reads, const int64_t* read_offsets, const int32_t* sid,
+    const double* conprb, const double* ncp, const double* theta, int64_t M,
+    int n_threads, double* out_frac, double* out_frac_noise,
+    double* out_counts) {
+  int nt = std::max(1, n_threads);
+  std::vector<std::vector<double>> counts(nt);
+  std::vector<std::thread> threads;
+  int64_t per = (n_reads + nt - 1) / nt;
+  for (int t = 0; t < nt; t++) {
+    int64_t lo = t * per, hi = std::min<int64_t>(n_reads, lo + per);
+    threads.emplace_back([&, t, lo, hi] {
+      auto& cv = counts[t];
+      cv.assign(M + 1, 0.0);
+      for (int64_t i = lo; i < hi; i++) {
+        int64_t fr = read_offsets[i], to = read_offsets[i + 1];
+        double w0 = theta[0] * ncp[i];
+        if (w0 < 1e-300) w0 = 0.0;
+        double sum = w0;
+        for (int64_t j = fr; j < to; j++) {
+          double w = theta[sid[j]] * conprb[j];
+          if (w < 1e-300) w = 0.0;
+          out_frac[j] = w;
+          sum += w;
+        }
+        if (sum >= 1e-300) {
+          double inv = 1.0 / sum;
+          out_frac_noise[i] = w0 * inv;
+          cv[0] += out_frac_noise[i];
+          for (int64_t j = fr; j < to; j++) {
+            out_frac[j] *= inv;
+            cv[sid[j]] += out_frac[j];
+          }
+        } else {
+          out_frac_noise[i] = 0.0;
+          for (int64_t j = fr; j < to; j++) out_frac[j] = 0.0;
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int64_t m = 0; m <= M; m++) {
+    double s = 0.0;
+    for (int t = 0; t < nt; t++) s += counts[t][m];
+    out_counts[m] = s;
+  }
+}
 
 extern "C" void suffstats(
     int64_t n_hits, const int32_t* rid, const int32_t* sid, const int8_t* dir,

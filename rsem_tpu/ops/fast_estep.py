@@ -113,14 +113,25 @@ def gather_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return xw[idx].sum(axis=1)
 
 
+def sum64(v: jnp.ndarray) -> jnp.ndarray:
+    """Accurate scalar sum: f32 block sums (short, tree-reduced) + f64 total.
+    Keeps float64 off large arrays (f64 is software-emulated on TPU)."""
+    n = v.shape[0]
+    nb = -(-n // BLOCK)
+    v2 = jnp.pad(v, (0, nb * BLOCK - n)).reshape(nb, BLOCK)
+    return jnp.sum(v2.sum(axis=1).astype(jnp.float64))
+
+
 def seg_sum_sorted(v: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
     """Segment sums of v (len multiple of BLOCK) at sorted boundaries.
 
     Two-level: in-block f32 prefix (short sums, accurate) + cross-block f64
-    cumsum (exact to ~1e-9 of total)."""
+    cumsum (exact to ~1e-9 of total). Only the [nb]-sized block level is
+    float64 — f64 on TPU is emulated, so it must never touch [H]-sized
+    arrays."""
     nb = v.shape[0] // BLOCK
     v2 = v.reshape(nb, BLOCK)
-    block_sums = v2.sum(axis=1, dtype=jnp.float64)
+    block_sums = v2.sum(axis=1).astype(jnp.float64)
     cs_blocks = jnp.concatenate(
         [jnp.zeros(1, jnp.float64), jnp.cumsum(block_sums)]
     )
@@ -150,9 +161,9 @@ def fast_theta_round(
     frac = w * dh
     frac_sorted = gather_rows(frac, data.perm)
     counts_t = seg_sum_sorted(frac_sorted, data.sid_starts)  # [M+1]
-    noise_frac = jnp.sum((w0 * inv_denom).astype(jnp.float64)).astype(jnp.float32)
+    noise_frac = sum64(w0 * inv_denom).astype(jnp.float32)
     counts = counts_t.at[0].set(noise_frac + data.n0)
-    theta_new = counts / jnp.sum(counts, dtype=jnp.float64).astype(jnp.float32)
+    theta_new = counts / jnp.sum(counts.astype(jnp.float64)).astype(jnp.float32)
     return theta_new, counts
 
 

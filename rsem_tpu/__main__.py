@@ -1,0 +1,204 @@
+"""Unified CLI: `python -m rsem_tpu <command> [args...]`.
+
+Commands mirror the reference's executable surface (SURVEY.md Appendix A):
+each maps 1:1 to an RSEM tool (calculate-expression == the
+rsem-calculate-expression driver, etc.). The reference ships ~20 separate
+binaries/scripts; this framework exposes them as subcommands of one package.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _cmd_calculate_expression(argv):
+    from .pipeline.calculate_expression import main
+    return main(argv)
+
+
+def _cmd_prepare_reference(argv):
+    from .pipeline.prepare_reference import main
+    return main(argv)
+
+
+def _cmd_simulate_reads(argv):
+    from .pipeline.simulate_reads import main
+    return main(argv)
+
+
+def _cmd_tbam2gbam(argv):
+    p = argparse.ArgumentParser(prog="rsem-tpu tbam2gbam")
+    p.add_argument("reference_name")
+    p.add_argument("input_bam")
+    p.add_argument("output_bam")
+    a = p.parse_args(argv)
+    from .io.tbam2gbam import tbam2gbam
+    tbam2gbam(a.reference_name, a.input_bam, a.output_bam,
+              command=" ".join(["rsem-tbam2gbam"] + argv))
+    return 0
+
+
+def _cmd_bam2wig(argv):
+    p = argparse.ArgumentParser(prog="rsem-tpu bam2wig")
+    p.add_argument("sorted_bam_input")
+    p.add_argument("wig_output")
+    p.add_argument("wiggle_name")
+    p.add_argument("--no-fractional-weight", action="store_true")
+    a = p.parse_args(argv)
+    from .io.wiggle import bam2wig
+    bam2wig(a.sorted_bam_input, a.wig_output, a.wiggle_name,
+            a.no_fractional_weight)
+    return 0
+
+
+def _cmd_bam2readdepth(argv):
+    p = argparse.ArgumentParser(prog="rsem-tpu bam2readdepth")
+    p.add_argument("sorted_bam_input")
+    p.add_argument("readdepth_output")
+    a = p.parse_args(argv)
+    from .io.wiggle import bam2readdepth
+    bam2readdepth(a.sorted_bam_input, a.readdepth_output)
+    return 0
+
+
+def _cmd_get_unique(argv):
+    p = argparse.ArgumentParser(prog="rsem-tpu get-unique")
+    p.add_argument("unsorted_transcript_bam_input")
+    p.add_argument("bam_output")
+    a = p.parse_args(argv)
+    from .pipeline.bamtools import get_unique
+    get_unique(a.unsorted_transcript_bam_input, a.bam_output)
+    print("done!")
+    return 0
+
+
+def _cmd_sam_validator(argv):
+    p = argparse.ArgumentParser(prog="rsem-tpu sam-validator")
+    p.add_argument("input")
+    a = p.parse_args(argv)
+    from .pipeline.bamtools import validate_alignments
+    ok = validate_alignments(a.input)
+    print("The input file is valid!" if ok
+          else "The input file is not valid!")
+    return 0 if ok else 1
+
+
+def _cmd_scan_for_paired_end_reads(argv):
+    p = argparse.ArgumentParser(prog="rsem-tpu scan-for-paired-end-reads")
+    p.add_argument("input")
+    p.add_argument("output_bam")
+    a = p.parse_args(argv)
+    from .pipeline.bamtools import scan_for_paired_end_reads
+    scan_for_paired_end_reads(a.input, a.output_bam)
+    return 0
+
+
+def _cmd_convert_sam_for_rsem(argv):
+    p = argparse.ArgumentParser(prog="rsem-tpu convert-sam-for-rsem")
+    p.add_argument("input")
+    p.add_argument("-o", "--output-name", required=True)
+    a = p.parse_args(argv)
+    from .pipeline.bamtools import convert_sam_for_rsem
+    out = convert_sam_for_rsem(a.input, a.output_name)
+    print(f"Output written to {out}")
+    return 0
+
+
+def _cmd_sort_bam(argv):
+    p = argparse.ArgumentParser(prog="rsem-tpu sort-bam")
+    p.add_argument("input_bam")
+    p.add_argument("output_bam")
+    p.add_argument("--by", choices=["coordinate", "name"],
+                   default="coordinate")
+    p.add_argument("--index", action="store_true")
+    a = p.parse_args(argv)
+    from .io.bamsort import sort_bam
+    sort_bam(a.input_bam, a.output_bam, by=a.by, build_index=a.index)
+    return 0
+
+
+def _cmd_generate_data_matrix(argv):
+    from .pipeline.utilities import generate_data_matrix
+    if not argv:
+        print("Usage: rsem-tpu generate-data-matrix sampleA.results "
+              "sampleB.results ... > output.matrix", file=sys.stderr)
+        return 1
+    generate_data_matrix(argv, sys.stdout)
+    return 0
+
+
+def _cmd_gff3_to_gtf(argv):
+    p = argparse.ArgumentParser(prog="rsem-tpu gff3-to-gtf")
+    p.add_argument("gff3_input")
+    p.add_argument("gtf_output")
+    p.add_argument("--RNA-patterns", default="mRNA")
+    p.add_argument("--make-genes-as-transcripts", action="store_true")
+    a = p.parse_args(argv)
+    from .refprep.gff3 import gff3_to_gtf
+    gff3_to_gtf(a.gff3_input, a.gtf_output, a.RNA_patterns,
+                a.make_genes_as_transcripts)
+    return 0
+
+
+def _cmd_extract_transcript_to_gene_map_from_trinity(argv):
+    p = argparse.ArgumentParser(
+        prog="rsem-tpu extract-transcript-to-gene-map-from-trinity"
+    )
+    p.add_argument("trinity_fasta_file")
+    p.add_argument("map_file")
+    a = p.parse_args(argv)
+    from .pipeline.utilities import extract_trinity_gene_map
+    extract_trinity_gene_map(a.trinity_fasta_file, a.map_file)
+    return 0
+
+
+def _cmd_refseq_extract_primary_assembly(argv):
+    p = argparse.ArgumentParser(
+        prog="rsem-tpu refseq-extract-primary-assembly"
+    )
+    p.add_argument("input_fna")
+    p.add_argument("output_fna")
+    a = p.parse_args(argv)
+    from .pipeline.utilities import refseq_extract_primary_assembly
+    refseq_extract_primary_assembly(a.input_fna, a.output_fna)
+    return 0
+
+
+COMMANDS = {
+    "calculate-expression": _cmd_calculate_expression,
+    "prepare-reference": _cmd_prepare_reference,
+    "simulate-reads": _cmd_simulate_reads,
+    "tbam2gbam": _cmd_tbam2gbam,
+    "bam2wig": _cmd_bam2wig,
+    "bam2readdepth": _cmd_bam2readdepth,
+    "get-unique": _cmd_get_unique,
+    "sam-validator": _cmd_sam_validator,
+    "scan-for-paired-end-reads": _cmd_scan_for_paired_end_reads,
+    "convert-sam-for-rsem": _cmd_convert_sam_for_rsem,
+    "sort-bam": _cmd_sort_bam,
+    "generate-data-matrix": _cmd_generate_data_matrix,
+    "gff3-to-gtf": _cmd_gff3_to_gtf,
+    "extract-transcript-to-gene-map-from-trinity":
+        _cmd_extract_transcript_to_gene_map_from_trinity,
+    "refseq-extract-primary-assembly": _cmd_refseq_extract_primary_assembly,
+}
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: python -m rsem_tpu <command> [args...]\n\ncommands:")
+        for name in sorted(COMMANDS):
+            print(f"  {name}")
+        return 0 if argv else 1
+    cmd = argv[0]
+    fn = COMMANDS.get(cmd)
+    if fn is None:
+        print(f"unknown command: {cmd}", file=sys.stderr)
+        return 1
+    return fn(argv[1:]) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

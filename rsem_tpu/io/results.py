@@ -90,6 +90,40 @@ def gene_level_values(
     return GeneLevel(glens, gene_eels, gene_counts, gene_tpm, gene_fpkm, isopct)
 
 
+def transcript_level_values(
+    ta, tlens: np.ndarray, eel: np.ndarray, counts: np.ndarray,
+    tpm: np.ndarray, fpkm: np.ndarray
+) -> GeneLevel:
+    """Allele mode: aggregate alleles into transcripts over the .ta grouping
+    (WriteResults.h:185-212). Returned GeneLevel.isopct is AlleleIsoPct —
+    each allele's share of its transcript's TPM ([M+1])."""
+    return gene_level_values(ta, tlens, eel, counts, tpm, fpkm)
+
+
+def within_gene_pct(gt, trans_tpm: np.ndarray, gene_tpm: np.ndarray) -> np.ndarray:
+    """Allele mode: transcript's share of its gene's TPM, [m_trans]
+    (WriteResults.h:214-221). gt: gene -> transcript GroupInfo."""
+    m_trans = len(trans_tpm)
+    tids = np.arange(m_trans)
+    gids = gt.gids_of(tids)
+    pct = np.zeros(m_trans)
+    expressed = gene_tpm[gids] >= EPSILON
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pct[expressed] = trans_tpm[expressed] / gene_tpm[gids][expressed]
+    return pct
+
+
+ALLELE_TITLE = [
+    "allele_id", "transcript_id", "gene_id", "length", "effective_length",
+    "expected_count", "TPM", "FPKM", "AlleleIsoPct", "AlleleGenePct",
+]
+ALLELE_TITLE_PME = [
+    "posterior_mean_count", "posterior_standard_deviation_of_count",
+    "pme_TPM", "pme_FPKM", "AlleleIsoPct_from_pme_TPM",
+    "AlleleGenePct_from_pme_TPM",
+]
+
+
 ISO_TITLE = [
     "transcript_id", "gene_id", "length", "effective_length", "expected_count",
     "TPM", "FPKM", "IsoPct",
@@ -153,6 +187,89 @@ def write_isoform_results(
             row = [
                 tid, gid, str(int(tlens[i])), _fmt(eel[i]), _fmt(counts[i]),
                 _fmt(tpm[i]), _fmt(fpkm[i]), _fmt(isopct[i] * 100),
+            ]
+            for vals in blocks:
+                row.extend(_fmt(v[i]) for v in vals)
+            f.write("\t".join(row) + "\n")
+
+
+def write_allele_results(
+    path: str,
+    transcripts,
+    tlens: np.ndarray,
+    eel: np.ndarray,
+    counts: np.ndarray,
+    tpm: np.ndarray,
+    fpkm: np.ndarray,
+    allele_iso_pct: np.ndarray,  # [M+1] share of transcript TPM
+    allele_gene_pct: np.ndarray,  # [M+1] share of gene TPM
+    append_names: bool = False,
+    extra_cols: Optional[List[Tuple[List[str], np.ndarray]]] = None,
+):
+    """sample.alleles.results (WriteResults.h:259-290 + allele headers
+    rsem_perl_utils.pm:37). allele_id is the Transcript seqname in
+    allele-specific references (synthesisRef convention)."""
+    M = transcripts.M
+    titles = list(ALLELE_TITLE)
+    blocks = []
+    if extra_cols:
+        for t, vals in extra_cols:
+            titles.extend(t)
+            blocks.append(np.atleast_2d(vals))
+    with open(path, "w") as f:
+        f.write("\t".join(titles) + "\n")
+        for i in range(1, M + 1):
+            tr = transcripts.get(i)
+            tid = tr.transcript_id
+            gid = tr.gene_id
+            if append_names and tr.transcript_name:
+                tid += "_" + tr.transcript_name
+            if append_names and tr.gene_name:
+                gid += "_" + tr.gene_name
+            row = [
+                tr.seqname, tid, gid, str(int(tlens[i])), _fmt(eel[i]),
+                _fmt(counts[i]), _fmt(tpm[i]), _fmt(fpkm[i]),
+                _fmt(allele_iso_pct[i] * 100), _fmt(allele_gene_pct[i] * 100),
+            ]
+            for vals in blocks:
+                row.extend(_fmt(v[i]) for v in vals)
+            f.write("\t".join(row) + "\n")
+
+
+def write_transcript_results_allele(
+    path: str,
+    transcripts,
+    ta,
+    gt,
+    tl: GeneLevel,  # transcript-level aggregation from transcript_level_values
+    iso_pct: np.ndarray,  # [m_trans] share of gene TPM
+    append_names: bool = False,
+    extra_cols: Optional[List[Tuple[List[str], np.ndarray]]] = None,
+):
+    """Isoform table in allele mode: one row per transcript (ta group),
+    IsoPct relative to the gene (WriteResults.h:292-330)."""
+    m_trans = ta.m
+    titles = list(ISO_TITLE)
+    blocks = []
+    if extra_cols:
+        for t, vals in extra_cols:
+            titles.extend(t)
+            blocks.append(np.atleast_2d(vals))
+    with open(path, "w") as f:
+        f.write("\t".join(titles) + "\n")
+        for i in range(m_trans):
+            b, _ = ta.span(i)
+            tr = transcripts.get(b)
+            tid = tr.transcript_id
+            gid = tr.gene_id
+            if append_names and tr.transcript_name:
+                tid += "_" + tr.transcript_name
+            if append_names and tr.gene_name:
+                gid += "_" + tr.gene_name
+            row = [
+                tid, gid, _fmt(tl.lengths[i]), _fmt(tl.eels[i]),
+                _fmt(tl.counts[i]), _fmt(tl.tpm[i]), _fmt(tl.fpkm[i]),
+                _fmt(iso_pct[i] * 100),
             ]
             for vals in blocks:
                 row.extend(_fmt(v[i]) for v in vals)

@@ -32,15 +32,23 @@ from ..engine.gibbs import GibbsConfig, run_gibbs
 from ..engine.ci import CIConfig, run_ci
 from ..io import parse_alignments
 from ..io.results import (
+    ALLELE_TITLE_PME,
     GENE_TITLE_CI,
     GENE_TITLE_PME,
     ISO_TITLE_CI,
     ISO_TITLE_PME,
     gene_level_values,
+    transcript_level_values,
+    within_gene_pct,
+    write_allele_results,
     write_gene_results,
     write_isoform_results,
+    write_transcript_results_allele,
 )
+from ..io.bam_writer import write_transcript_bam
+from ..io.bamsort import sort_bam
 from ..io.sam import finalize_cnt
+from ..io.tbam2gbam import tbam2gbam
 from ..model import GenerativeModel, ModelSpec
 from ..refprep.reference import Reference
 from ..refprep.transcripts import GroupInfo, Transcripts
@@ -72,6 +80,12 @@ class ExpressionConfig:
     ci_number_of_samples_per_count_vector: int = 50
     single_cell_prior: bool = False
     gibbs_chains: int = 8
+    # BAM output (rsem-calculate-expression:94-99,505-527,645-674)
+    no_bam_output: bool = False
+    sampling_for_bam: bool = False
+    output_genome_bam: bool = False
+    sort_bam_by_coordinate: bool = False
+    sort_bam_by_read_name: bool = False
     # misc
     append_names: bool = False
     tag: str = "XM"
@@ -93,6 +107,14 @@ class ExpressionResult:
     gibbs: Optional[object] = None
     ci: Optional[object] = None
     cnt: Optional[object] = None
+
+
+def _pct(num: np.ndarray, denom: np.ndarray) -> np.ndarray:
+    """num/denom*100 where denom >= EPSILON, else 0 (WriteResults.h:383+)."""
+    out = np.zeros_like(np.asarray(num, dtype=np.float64))
+    ok = denom >= 1e-300
+    out[ok] = num[ok] / denom[ok] * 100.0
+    return out
 
 
 def _stage_seeds(seed: Optional[int]):
@@ -129,6 +151,7 @@ def calculate_expression(
         f"{reference_name}.ta"
     )
     ta = GroupInfo.load(f"{reference_name}.ta") if allele else None
+    gt = GroupInfo.load(f"{reference_name}.gt") if allele else None
 
     names = [""] + [
         (t.seqname if ts.is_allele_specific else t.transcript_id)
@@ -150,6 +173,12 @@ def calculate_expression(
         has_polya=ref.has_polya,
     )
     spec.write_mparams(f"{imd}.mparams")
+
+    # ---- optional input name-sort (rsem-calculate-expression:567-575) ----
+    if cfg.sort_bam_by_read_name:
+        sorted_inp = f"{imd}.sorted.bam"
+        sort_bam(alignments, sorted_inp, by="name")
+        alignments = sorted_inp
 
     # ---- parse alignments (rsem-parse-alignments) ----
     bundle = parse_alignments(
@@ -176,9 +205,14 @@ def calculate_expression(
 
     tlens = ts.lengths()
     gl = gene_level_values(gi, tlens, em.eel, em.counts, em.tpm, em.fpkm)
+    tl = None
+    if allele:
+        tl = transcript_level_values(ta, tlens, em.eel, em.counts, em.tpm,
+                                     em.fpkm)
 
     iso_extra = []
     gene_extra = []
+    allele_extra = []
 
     # ---- Gibbs (--calc-pme / --calc-ci) ----
     seeds = _stage_seeds(cfg.seed)
@@ -198,29 +232,11 @@ def calculate_expression(
             bundle.hits, em.log_conprb, em.log_ncp, ref.M, bundle.cnt.N0,
             em.eel, model.mw, gi, gcfg, omit=bundle.omit, ta=ta,
         )
-        isopct_pme = np.zeros(ref.M + 1)
         gene_pme_tpm = np.bincount(
             sid2gid[1:], weights=gres.pme_tpm[1:], minlength=gi.m
         )
-        nz = gene_pme_tpm[sid2gid[1:]] >= 1e-300
-        isopct_pme[1:][nz] = (
-            gres.pme_tpm[1:][nz] / gene_pme_tpm[sid2gid[1:]][nz] * 100
-        )
-        iso_extra.append(
-            (
-                ISO_TITLE_PME,
-                np.stack(
-                    [
-                        gres.pme_c,
-                        np.sqrt(gres.pve_c),
-                        gres.pme_tpm,
-                        gres.pme_fpkm,
-                        isopct_pme,
-                    ]
-                ),
-            )
-        )
-        gene_pme_c = np.bincount(sid2gid[1:], weights=gres.pme_c[1:], minlength=gi.m)
+        gene_pme_c = np.bincount(sid2gid[1:], weights=gres.pme_c[1:],
+                                 minlength=gi.m)
         gene_pme_fpkm = np.bincount(
             sid2gid[1:], weights=gres.pme_fpkm[1:], minlength=gi.m
         )
@@ -228,15 +244,57 @@ def calculate_expression(
             (
                 GENE_TITLE_PME,
                 np.stack(
-                    [
-                        np.concatenate([[0], gene_pme_c])[1:],
-                        np.sqrt(gres.pve_c_genes),
-                        gene_pme_tpm,
-                        gene_pme_fpkm,
-                    ]
+                    [gene_pme_c, np.sqrt(gres.pve_c_genes), gene_pme_tpm,
+                     gene_pme_fpkm]
                 ),
             )
         )
+        if not allele:
+            isopct_pme = _pct(gres.pme_tpm[1:], gene_pme_tpm[sid2gid[1:]])
+            iso_extra.append(
+                (
+                    ISO_TITLE_PME,
+                    np.stack(
+                        [gres.pme_c, np.sqrt(gres.pve_c), gres.pme_tpm,
+                         gres.pme_fpkm,
+                         np.concatenate([[0.0], isopct_pme])]
+                    ),
+                )
+            )
+        else:
+            sid2tid = ta.gids_of(np.arange(1, ref.M + 1))
+            trans_pme_tpm = np.bincount(
+                sid2tid, weights=gres.pme_tpm[1:], minlength=ta.m
+            )
+            trans_pme_c = np.bincount(sid2tid, weights=gres.pme_c[1:],
+                                      minlength=ta.m)
+            trans_pme_fpkm = np.bincount(
+                sid2tid, weights=gres.pme_fpkm[1:], minlength=ta.m
+            )
+            tid2gid = gt.gids_of(np.arange(ta.m))
+            allele_iso_pme = _pct(gres.pme_tpm[1:], trans_pme_tpm[sid2tid])
+            allele_gene_pme = _pct(gres.pme_tpm[1:], gene_pme_tpm[sid2gid[1:]])
+            allele_extra.append(
+                (
+                    ALLELE_TITLE_PME,
+                    np.stack(
+                        [gres.pme_c, np.sqrt(gres.pve_c), gres.pme_tpm,
+                         gres.pme_fpkm,
+                         np.concatenate([[0.0], allele_iso_pme]),
+                         np.concatenate([[0.0], allele_gene_pme])]
+                    ),
+                )
+            )
+            iso_extra.append(
+                (
+                    ISO_TITLE_PME,
+                    np.stack(
+                        [trans_pme_c, np.sqrt(gres.pve_c_trans),
+                         trans_pme_tpm, trans_pme_fpkm,
+                         _pct(trans_pme_tpm, gene_pme_tpm[tid2gid])]
+                    ),
+                )
+            )
 
     # ---- credibility intervals (--calc-ci) ----
     if cfg.calc_ci:
@@ -247,38 +305,77 @@ def calculate_expression(
             seed=seeds[2] if seeds[2] is not None else 0,
         )
         cires = run_ci(gres.countvectors, em.eel, model.mw, gi, cicfg, ta=ta)
-        iso_extra.append(
-            (
-                ISO_TITLE_CI,
-                np.stack(
-                    [
-                        cires.tpm.lb, cires.tpm.ub, cires.tpm.cqv,
-                        cires.fpkm.lb, cires.fpkm.ub, cires.fpkm.cqv,
-                    ]
-                ),
-            )
+        sid_ci = (
+            ISO_TITLE_CI,
+            np.stack(
+                [cires.tpm.lb, cires.tpm.ub, cires.tpm.cqv,
+                 cires.fpkm.lb, cires.fpkm.ub, cires.fpkm.cqv]
+            ),
         )
+        if allele:
+            allele_extra.append(sid_ci)
+            iso_extra.append(
+                (
+                    ISO_TITLE_CI,
+                    np.stack(
+                        [cires.iso_tpm.lb, cires.iso_tpm.ub, cires.iso_tpm.cqv,
+                         cires.iso_fpkm.lb, cires.iso_fpkm.ub,
+                         cires.iso_fpkm.cqv]
+                    ),
+                )
+            )
+        else:
+            iso_extra.append(sid_ci)
         gene_extra.append(
             (
                 GENE_TITLE_CI,
                 np.stack(
-                    [
-                        cires.gene_tpm.lb, cires.gene_tpm.ub, cires.gene_tpm.cqv,
-                        cires.gene_fpkm.lb, cires.gene_fpkm.ub,
-                        cires.gene_fpkm.cqv,
-                    ]
+                    [cires.gene_tpm.lb, cires.gene_tpm.ub, cires.gene_tpm.cqv,
+                     cires.gene_fpkm.lb, cires.gene_fpkm.ub,
+                     cires.gene_fpkm.cqv]
                 ),
             )
         )
 
     # ---- final tables ----
-    write_isoform_results(
-        f"{sample_name}.isoforms.results", ts, tlens, em.eel, em.counts,
-        em.tpm, em.fpkm, gl.isopct, cfg.append_names, iso_extra,
-    )
+    if allele:
+        write_allele_results(
+            f"{sample_name}.alleles.results", ts, tlens, em.eel, em.counts,
+            em.tpm, em.fpkm, tl.isopct, gl.isopct, cfg.append_names,
+            allele_extra,
+        )
+        iso_pct = within_gene_pct(gt, tl.tpm, gl.tpm)
+        write_transcript_results_allele(
+            f"{sample_name}.isoforms.results", ts, ta, gt, tl, iso_pct,
+            cfg.append_names, iso_extra,
+        )
+    else:
+        write_isoform_results(
+            f"{sample_name}.isoforms.results", ts, tlens, em.eel, em.counts,
+            em.tpm, em.fpkm, gl.isopct, cfg.append_names, iso_extra,
+        )
     write_gene_results(
         f"{sample_name}.genes.results", ts, gi, gl, cfg.append_names, gene_extra
     )
+
+    # ---- posterior-weighted BAM output ----
+    if not cfg.no_bam_output:
+        bam_path = f"{sample_name}.transcript.bam"
+        write_transcript_bam(
+            alignments, bam_path, bundle.hits, em.frac_hit, em.frac_noise,
+            paired=cfg.paired_end, sampling=cfg.sampling_for_bam,
+            seed=seeds[0], command=None,
+        )
+        genome_bam = None
+        if cfg.output_genome_bam:
+            genome_bam = f"{sample_name}.genome.bam"
+            tbam2gbam(reference_name, bam_path, genome_bam)
+        if cfg.sort_bam_by_coordinate:
+            sort_bam(bam_path, f"{sample_name}.transcript.sorted.bam",
+                     by="coordinate", build_index=True)
+            if genome_bam:
+                sort_bam(genome_bam, f"{sample_name}.genome.sorted.bam",
+                         by="coordinate", build_index=True)
 
     if not cfg.keep_intermediate_files:
         shutil.rmtree(temp_dir, ignore_errors=True)
@@ -321,6 +418,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ci-number-of-samples-per-count-vector", type=int,
                    default=50)
     p.add_argument("--single-cell-prior", action="store_true")
+    p.add_argument("--no-bam-output", action="store_true")
+    p.add_argument("--sampling-for-bam", action="store_true")
+    p.add_argument("--output-genome-bam", action="store_true")
+    p.add_argument("--sort-bam-by-coordinate", action="store_true")
+    p.add_argument("--sort-bam-by-read-name", action="store_true")
     p.add_argument("--append-names", action="store_true")
     p.add_argument("--tag", default="XM")
     p.add_argument("--keep-intermediate-files", action="store_true")
@@ -352,6 +454,11 @@ def main(argv=None) -> int:
             args.ci_number_of_samples_per_count_vector
         ),
         single_cell_prior=args.single_cell_prior,
+        no_bam_output=args.no_bam_output,
+        sampling_for_bam=args.sampling_for_bam,
+        output_genome_bam=args.output_genome_bam,
+        sort_bam_by_coordinate=args.sort_bam_by_coordinate,
+        sort_bam_by_read_name=args.sort_bam_by_read_name,
         append_names=args.append_names,
         tag=args.tag,
         keep_intermediate_files=args.keep_intermediate_files,

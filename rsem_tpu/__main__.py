@@ -165,6 +165,55 @@ def _cmd_refseq_extract_primary_assembly(argv):
     return 0
 
 
+def _cmd_generate_ngvector(argv):
+    p = argparse.ArgumentParser(prog="rsem-tpu generate-ngvector")
+    p.add_argument("input_fasta_file")
+    p.add_argument("output_name")
+    p.add_argument("-k", type=int, default=25)
+    p.add_argument("-q", "--quiet", action="store_true")
+    a = p.parse_args(argv)
+    from .diffexp import generate_ngvector
+    generate_ngvector(a.input_fasta_file, a.output_name, k=a.k,
+                      quiet=a.quiet)
+    return 0
+
+
+def _cmd_run_ebseq(argv):
+    p = argparse.ArgumentParser(prog="rsem-tpu run-ebseq")
+    p.add_argument("data_matrix_file")
+    p.add_argument("conditions",
+                   help="comma-separated replicate counts, e.g. 3,3")
+    p.add_argument("output_file")
+    p.add_argument("--ngvector", default=None)
+    a = p.parse_args(argv)
+    conds = [int(x) for x in a.conditions.split(",")]
+    if len(conds) < 2:
+        print("At least 2 conditions are required!", file=sys.stderr)
+        return 2
+    from .diffexp import run_ebseq
+    run_ebseq(a.data_matrix_file, conds, a.output_file,
+              ngvector_file=a.ngvector)
+    return 0
+
+
+def _cmd_control_fdr(argv):
+    p = argparse.ArgumentParser(prog="rsem-tpu control-fdr")
+    p.add_argument("input_file")
+    p.add_argument("fdr_rate", type=float)
+    p.add_argument("output_file")
+    p.add_argument("--hard-threshold", action="store_true")
+    p.add_argument("--soft-threshold", action="store_true")
+    a = p.parse_args(argv)
+    if a.hard_threshold and a.soft_threshold:
+        print("--hard-threshold and --soft-threshold cannot both be set!",
+              file=sys.stderr)
+        return 2
+    from .diffexp import control_fdr
+    control_fdr(a.input_file, a.fdr_rate, a.output_file,
+                soft=a.soft_threshold)
+    return 0
+
+
 COMMANDS = {
     "calculate-expression": _cmd_calculate_expression,
     "prepare-reference": _cmd_prepare_reference,
@@ -178,6 +227,9 @@ COMMANDS = {
     "convert-sam-for-rsem": _cmd_convert_sam_for_rsem,
     "sort-bam": _cmd_sort_bam,
     "generate-data-matrix": _cmd_generate_data_matrix,
+    "generate-ngvector": _cmd_generate_ngvector,
+    "run-ebseq": _cmd_run_ebseq,
+    "control-fdr": _cmd_control_fdr,
     "gff3-to-gtf": _cmd_gff3_to_gtf,
     "extract-transcript-to-gene-map-from-trinity":
         _cmd_extract_transcript_to_gene_map_from_trinity,

@@ -214,6 +214,34 @@ def _cmd_control_fdr(argv):
     return 0
 
 
+def _cmd_plot_model(argv):
+    p = argparse.ArgumentParser(prog="rsem-tpu plot-model")
+    p.add_argument("sample_name")
+    p.add_argument("output_plot_file")
+    a = p.parse_args(argv)
+    from .plots import plot_model
+    plot_model(a.sample_name, a.output_plot_file)
+    return 0
+
+
+def _cmd_plot_transcript_wiggles(argv):
+    p = argparse.ArgumentParser(prog="rsem-tpu plot-transcript-wiggles")
+    p.add_argument("sample_name")
+    p.add_argument("input_list")
+    p.add_argument("output_plot_file")
+    p.add_argument("--gene-list", action="store_true")
+    p.add_argument("--transcript-list", action="store_true")
+    p.add_argument("--show-unique", action="store_true")
+    a = p.parse_args(argv)
+    from .plots import plot_transcript_wiggles
+    plot_transcript_wiggles(
+        a.sample_name, a.input_list, a.output_plot_file,
+        gene_list=a.gene_list, transcript_list=a.transcript_list,
+        show_unique=a.show_unique,
+    )
+    return 0
+
+
 COMMANDS = {
     "calculate-expression": _cmd_calculate_expression,
     "prepare-reference": _cmd_prepare_reference,
@@ -227,6 +255,8 @@ COMMANDS = {
     "convert-sam-for-rsem": _cmd_convert_sam_for_rsem,
     "sort-bam": _cmd_sort_bam,
     "generate-data-matrix": _cmd_generate_data_matrix,
+    "plot-model": _cmd_plot_model,
+    "plot-transcript-wiggles": _cmd_plot_transcript_wiggles,
     "generate-ngvector": _cmd_generate_ngvector,
     "run-ebseq": _cmd_run_ebseq,
     "control-fdr": _cmd_control_fdr,

@@ -214,6 +214,62 @@ def _cmd_control_fdr(argv):
     return 0
 
 
+def _cmd_run_prsem_testing_procedure(argv):
+    p = argparse.ArgumentParser(
+        prog="rsem-tpu run-prsem-testing-procedure",
+        description="Test whether external ChIP-seq data is informative for "
+        "quantification (pRSEM testing procedure); requires a sample already "
+        "quantified with --calc-pme.",
+    )
+    p.add_argument("reference_name")
+    p.add_argument("sample_name")
+    p.add_argument("--chipseq-peak-file", required=True)
+    p.add_argument("--partition-model", default="pk")
+    p.add_argument("--mappability-bedgraph-file", default=None)
+    p.add_argument("-q", "--quiet", action="store_true")
+    a = p.parse_args(argv)
+
+    import os
+
+    import numpy as np
+
+    from .prsem import PrsemConfig, run_testing_procedure
+    from .refprep.transcripts import Transcripts
+
+    ts = Transcripts.read_ti(f"{a.reference_name}.ti")
+    iso_path = f"{a.sample_name}.isoforms.results"
+    with open(iso_path) as f:
+        hdr = f.readline().rstrip("\n").split("\t")
+        if "posterior_mean_count" not in hdr:
+            print(
+                f"{iso_path} lacks posterior_mean_count; rerun "
+                "calculate-expression with --calc-pme", file=sys.stderr,
+            )
+            return 2
+        tcol = hdr.index("transcript_id")
+        pcol = hdr.index("posterior_mean_count")
+        pme = {}
+        for line in f:
+            fields = line.rstrip("\n").split("\t")
+            pme[fields[tcol]] = float(fields[pcol])
+    pme_count = np.array(
+        [pme[t.transcript_id] for t in ts.transcripts], dtype=np.float64
+    )
+    token = os.path.basename(a.sample_name)
+    stat = os.path.join(f"{a.sample_name}.stat", token)
+    run_testing_procedure(
+        ts, pme_count,
+        PrsemConfig(
+            chipseq_peak_file=a.chipseq_peak_file,
+            partition_model=a.partition_model,
+            mappability_file=a.mappability_bedgraph_file,
+        ),
+        stat_name=stat if os.path.isdir(f"{a.sample_name}.stat") else None,
+        log=(lambda *x: None) if a.quiet else print,
+    )
+    return 0
+
+
 def _cmd_plot_model(argv):
     p = argparse.ArgumentParser(prog="rsem-tpu plot-model")
     p.add_argument("sample_name")
@@ -255,6 +311,7 @@ COMMANDS = {
     "convert-sam-for-rsem": _cmd_convert_sam_for_rsem,
     "sort-bam": _cmd_sort_bam,
     "generate-data-matrix": _cmd_generate_data_matrix,
+    "run-prsem-testing-procedure": _cmd_run_prsem_testing_procedure,
     "plot-model": _cmd_plot_model,
     "plot-transcript-wiggles": _cmd_plot_transcript_wiggles,
     "generate-ngvector": _cmd_generate_ngvector,

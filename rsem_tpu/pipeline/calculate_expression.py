@@ -86,6 +86,11 @@ class ExpressionConfig:
     output_genome_bam: bool = False
     sort_bam_by_coordinate: bool = False
     sort_bam_by_read_name: bool = False
+    # pRSEM (rsem-calculate-expression:182-194,743-811)
+    run_prsem: bool = False
+    chipseq_peak_file: str = ""
+    partition_model: str = "pk"
+    mappability_bedgraph_file: Optional[str] = None
     # misc
     append_names: bool = False
     tag: str = "XM"
@@ -358,6 +363,70 @@ def calculate_expression(
         f"{sample_name}.genes.results", ts, gi, gl, cfg.append_names, gene_extra
     )
 
+    # ---- pRSEM: ChIP-seq-informed prior + Gibbs rerun ----
+    # (rsem-calculate-expression:743-811; pRSEM/prsem-calculate-expression)
+    if cfg.run_prsem:
+        if allele:
+            raise ValueError("pRSEM is not supported in allele mode")
+        if gres is None:
+            raise ValueError(
+                "--run-pRSEM requires --calc-pme (pRSEM learns its prior "
+                "from posterior mean counts)"
+            )
+        if not cfg.chipseq_peak_file:
+            raise ValueError("--run-pRSEM requires --chipseq-peak-file")
+        from ..prsem import PrsemConfig, learn_prior
+
+        pres = learn_prior(
+            ts,
+            gres.pme_c[1:],
+            PrsemConfig(
+                chipseq_peak_file=cfg.chipseq_peak_file,
+                partition_model=cfg.partition_model,
+                mappability_file=cfg.mappability_bedgraph_file,
+            ),
+            imd_name=imd,
+            stat_name=stat,
+            log=(lambda *a: None) if cfg.quiet else print,
+        )
+        if pres.informative:
+            # uniform-prior tables become the *_uniform_prior_1 artifacts
+            os.replace(f"{sample_name}.isoforms.results",
+                       f"{stat}_uniform_prior_1.isoforms.results")
+            os.replace(f"{sample_name}.genes.results",
+                       f"{stat}_uniform_prior_1.genes.results")
+            pgres = run_gibbs(
+                bundle.hits, em.log_conprb, em.log_ncp, ref.M,
+                bundle.cnt.N0, em.eel, model.mw, gi, gcfg,
+                omit=bundle.omit, ta=None, prior=pres.prior,
+            )
+            g_pme_tpm = np.bincount(sid2gid[1:], weights=pgres.pme_tpm[1:],
+                                    minlength=gi.m)
+            g_pme_c = np.bincount(sid2gid[1:], weights=pgres.pme_c[1:],
+                                  minlength=gi.m)
+            g_pme_fpkm = np.bincount(sid2gid[1:], weights=pgres.pme_fpkm[1:],
+                                     minlength=gi.m)
+            isopct_p = _pct(pgres.pme_tpm[1:], g_pme_tpm[sid2gid[1:]])
+            # pRSEM results: EM columns + prior-informed PME columns only
+            # (collectResults over head-8/tail-5 of iso_res,
+            #  rsem-calculate-expression:789-796)
+            write_isoform_results(
+                f"{sample_name}.isoforms.results", ts, tlens, em.eel,
+                em.counts, em.tpm, em.fpkm, gl.isopct, cfg.append_names,
+                [(ISO_TITLE_PME,
+                  np.stack([pgres.pme_c, np.sqrt(pgres.pve_c),
+                            pgres.pme_tpm, pgres.pme_fpkm,
+                            np.concatenate([[0.0], isopct_p])]))],
+            )
+            write_gene_results(
+                f"{sample_name}.genes.results", ts, gi, gl,
+                cfg.append_names,
+                [(GENE_TITLE_PME,
+                  np.stack([g_pme_c, np.sqrt(pgres.pve_c_genes),
+                            g_pme_tpm, g_pme_fpkm]))],
+            )
+            gres = pgres
+
     # ---- posterior-weighted BAM output ----
     if not cfg.no_bam_output:
         bam_path = f"{sample_name}.transcript.bam"
@@ -423,6 +492,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-genome-bam", action="store_true")
     p.add_argument("--sort-bam-by-coordinate", action="store_true")
     p.add_argument("--sort-bam-by-read-name", action="store_true")
+    p.add_argument("--run-pRSEM", dest="run_prsem", action="store_true")
+    p.add_argument("--chipseq-peak-file", default="")
+    p.add_argument("--partition-model", default="pk")
+    p.add_argument("--mappability-bedgraph-file", default=None)
     p.add_argument("--append-names", action="store_true")
     p.add_argument("--tag", default="XM")
     p.add_argument("--keep-intermediate-files", action="store_true")
@@ -459,6 +532,10 @@ def main(argv=None) -> int:
         output_genome_bam=args.output_genome_bam,
         sort_bam_by_coordinate=args.sort_bam_by_coordinate,
         sort_bam_by_read_name=args.sort_bam_by_read_name,
+        run_prsem=args.run_prsem,
+        chipseq_peak_file=args.chipseq_peak_file,
+        partition_model=args.partition_model,
+        mappability_bedgraph_file=args.mappability_bedgraph_file,
         append_names=args.append_names,
         tag=args.tag,
         keep_intermediate_files=args.keep_intermediate_files,

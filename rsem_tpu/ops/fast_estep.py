@@ -42,6 +42,8 @@ jax.config.update("jax_enable_x64", True)
 
 BLOCK = 512
 GATHER_W = 8  # row-gather width
+IDX_CHUNK = 262144  # split gather index arrays (measured ~1.7x on VMEM tables)
+RSLICE = 131072  # denominator-table slice so each chunk's source fits VMEM
 
 
 def _pad_np(x: np.ndarray, n: int, fill=0) -> np.ndarray:
@@ -57,13 +59,20 @@ class FastEStepData(NamedTuple):
 
     Hits live in dense read-major buckets; `flat` refers to the
     concatenation of all buckets' [N_K, K] tiles, row-major, padded rows
-    (sid 0 / cps 0) included."""
+    (sid 0 / cps 0) included. `sorted` refers to the static sid-sort of the
+    flat slots; the only per-round cross-layout op is the gather of
+    per-read-slot inverse denominators at `rslot_sorted` (a [rows_total]
+    table — gather cost grows with source-table size, so indexing the
+    small denominator table beats permuting the [Hp] fracs)."""
 
     sid_b: Tuple[jnp.ndarray, ...]  # per bucket [N_K, K] int32 (pad: 0)
     cps_b: Tuple[jnp.ndarray, ...]  # per bucket [N_K, K] f32 (pad: 0)
     ncs_b: Tuple[jnp.ndarray, ...]  # per bucket [N_K] f32 (pad rows: 0)
-    perm: jnp.ndarray  # [Hp] int32 flat index for each sid-sorted slot
-    sid_starts: jnp.ndarray  # [M+2] int32 segment boundaries, sorted order
+    # hits regrouped by (read-slot RSLICE chunk, sid), per chunk:
+    cps_c: Tuple[jnp.ndarray, ...]  # f32 cps per sorted slot (pad: 0)
+    rloc_c: Tuple[jnp.ndarray, ...]  # int32 read-slot % RSLICE (pad: 0)
+    sid_starts_c: Tuple[jnp.ndarray, ...]  # [M+2] int32 local boundaries
+    rows_pad: int  # C_r * RSLICE (invd padded length)
     restore_hit: jnp.ndarray  # [H] int32 flat slot of each original hit
     restore_read_b: Tuple[np.ndarray, ...]  # per bucket [N_K] orig read id
     n_reads: int
@@ -112,8 +121,8 @@ def build_fast_data(
 
     sid_b, cps_b, ncs_b, restore_read_b = [], [], [], []
     flat_sid_parts, flat_orig_parts = [], []
-    flat_off = 0
-    # original hit index grid helper
+    flat_cps_parts, flat_rslot_parts = [], []
+    row_base = 0
     for bi, K in enumerate(sizes):
         rsel = np.nonzero(bucket_of == bi)[0]
         if len(rsel) == 0:
@@ -147,18 +156,44 @@ def build_fast_data(
         restore_read_b.append(rsel)
         flat_sid_parts.append(sid_t.reshape(-1))
         flat_orig_parts.append(orig_t.reshape(-1))
-        flat_off += rows * K
+        flat_cps_parts.append(cps_t.reshape(-1))
+        # global read-slot (row index across concatenated buckets)
+        flat_rslot_parts.append(
+            np.repeat(row_base + np.arange(rows, dtype=np.int64), K)
+        )
+        row_base += rows
 
     flat_sid = np.concatenate(flat_sid_parts)
     flat_orig = np.concatenate(flat_orig_parts)
-    Hp = len(flat_sid)
-    assert Hp % BLOCK == 0
+    flat_cps = np.concatenate(flat_cps_parts)
+    flat_rslot = np.concatenate(flat_rslot_parts)
+    rows_total = row_base
 
-    # static sid-sort permutation over flat slots; padding (sid 0, cps 0)
-    # sorts into segment 0, which is overwritten by the noise count
-    perm = np.argsort(flat_sid, kind="stable").astype(np.int32)
-    sid_sorted = flat_sid[perm]
-    sid_starts = np.searchsorted(sid_sorted, np.arange(M + 2)).astype(np.int32)
+    # regroup hits by (read-slot chunk, sid): per chunk the denominator
+    # source is a VMEM-sized RSLICE slice and the sid run structure is
+    # still sorted, so counts = sum of per-chunk segment sums. Padding
+    # (cps 0) is appended per chunk with sid M+1 so it lands past the last
+    # real segment.
+    n_chunks = max(1, -(-rows_total // RSLICE))
+    rchunk = flat_rslot // RSLICE
+    order = np.lexsort((flat_sid, rchunk))
+    cps_c, rloc_c, sid_starts_c = [], [], []
+    for k in range(n_chunks):
+        sel = order[rchunk[order] == k]
+        n = len(sel)
+        npad = (-n) % BLOCK if n else BLOCK
+        sid_k = np.concatenate(
+            [flat_sid[sel], np.full(npad, M + 1, dtype=flat_sid.dtype)]
+        )
+        cps_k = _pad_np(flat_cps[sel], n + npad)
+        rloc_k = _pad_np(
+            (flat_rslot[sel] - k * RSLICE).astype(np.int32), n + npad
+        )
+        sid_starts_c.append(jnp.asarray(
+            np.searchsorted(sid_k, np.arange(M + 2)).astype(np.int32)
+        ))
+        cps_c.append(jnp.asarray(cps_k))
+        rloc_c.append(jnp.asarray(rloc_k))
 
     # original hit -> flat slot (for final posterior weights)
     restore_hit = np.empty(H, dtype=np.int64)
@@ -169,8 +204,10 @@ def build_fast_data(
         sid_b=tuple(jnp.asarray(t) for t in sid_b),
         cps_b=tuple(jnp.asarray(t) for t in cps_b),
         ncs_b=tuple(jnp.asarray(t) for t in ncs_b),
-        perm=jnp.asarray(perm),
-        sid_starts=jnp.asarray(sid_starts),
+        cps_c=tuple(cps_c),
+        rloc_c=tuple(rloc_c),
+        sid_starts_c=tuple(sid_starts_c),
+        rows_pad=n_chunks * RSLICE,
         restore_hit=jnp.asarray(restore_hit.astype(np.int32)),
         restore_read_b=tuple(restore_read_b),
         n_reads=N,
@@ -180,9 +217,22 @@ def build_fast_data(
 
 
 def gather_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Fast TPU gather: widen x to [len, G] rows, row-gather, reduce back."""
+    """Fast TPU gather: widen x to [len, G] rows, row-gather, reduce back.
+    Large index arrays are split into IDX_CHUNK pieces — on VMEM-resident
+    source tables the split gathers pipeline ~1.7x faster than one big one."""
     xw = jnp.broadcast_to(x[:, None] * (1.0 / GATHER_W), (x.shape[0], GATHER_W))
-    return xw[idx].sum(axis=1)
+    n = idx.shape[0]
+    if n <= IDX_CHUNK or n % IDX_CHUNK:
+        nc = n // IDX_CHUNK
+        head = nc * IDX_CHUNK
+        if nc >= 2:
+            parts = [xw[c].sum(axis=1)
+                     for c in jnp.split(idx[:head], nc)] + [
+                         xw[idx[head:]].sum(axis=1)]
+            return jnp.concatenate(parts)
+        return xw[idx].sum(axis=1)
+    parts = [xw[c].sum(axis=1) for c in jnp.split(idx, n // IDX_CHUNK)]
+    return jnp.concatenate(parts)
 
 
 def sum64(v: jnp.ndarray) -> jnp.ndarray:
@@ -219,37 +269,50 @@ def seg_sum_sorted(v: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
     return (cs_at[1:] - cs_at[:-1]).astype(jnp.float32)
 
 
-def _bucket_fracs(theta: jnp.ndarray, data: FastEStepData):
-    """Per-bucket posterior fractions. Returns (flat fracs [Hp],
-    noise fraction sums per bucket (f64 scalar), noise fracs per bucket)."""
-    flat_parts = []
+def _bucket_denoms(theta: jnp.ndarray, data: FastEStepData):
+    """Per-read-slot inverse denominators. Returns (invd [rows_total],
+    noise fraction total (f64 scalar), per-bucket (w, inv) tiles)."""
+    inv_parts = []
     noise_terms = []
-    noise_fracs = []
+    tiles = []
     for sid_t, cps_t, ncs_t in zip(data.sid_b, data.cps_b, data.ncs_b):
         rows, K = sid_t.shape
         w = gather_rows(theta, sid_t.reshape(-1)).reshape(rows, K) * cps_t
         w0 = theta[0] * ncs_t  # [rows]
         denom = w.sum(axis=1) + w0
         inv = jnp.where(denom > 0, 1.0 / jnp.where(denom > 0, denom, 1.0), 0.0)
-        frac = w * inv[:, None]
-        flat_parts.append(frac.reshape(-1))
-        nf = w0 * inv
-        noise_fracs.append(nf)
-        noise_terms.append(sum64(nf))
-    flat = jnp.concatenate(flat_parts) if len(flat_parts) > 1 else flat_parts[0]
+        inv_parts.append(inv)
+        noise_terms.append(sum64(w0 * inv))
+        tiles.append((w, inv, w0))
+    invd = jnp.concatenate(inv_parts) if len(inv_parts) > 1 else inv_parts[0]
     noise = noise_terms[0]
     for t in noise_terms[1:]:
         noise = noise + t
-    return flat, noise, noise_fracs
+    return invd, noise, tiles
 
 
 def fast_theta_round(
     theta: jnp.ndarray, data: FastEStepData
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One fixed-conprb EM round; returns (new_theta f32 [M+1], counts)."""
-    flat, noise, _ = _bucket_fracs(theta, data)
-    frac_sorted = gather_rows(flat, data.perm)
-    counts_t = seg_sum_sorted(frac_sorted, data.sid_starts)  # [M+1]
+    """One fixed-conprb EM round; returns (new_theta f32 [M+1], counts).
+
+    counts_m = theta_m * sum_{hits of m} cps / denom(read): theta factors
+    out of the per-transcript sum, so the segment sum runs over static
+    (cps, read-slot) arrays and no per-round array ever needs permuting —
+    the only cross-layout op is the invd gather, chunked so each chunk
+    reads a VMEM-sized slice of the denominator table."""
+    invd, noise, _ = _bucket_denoms(theta, data)
+    rows_pad = len(data.cps_c) * RSLICE  # static (tuple length, not a leaf)
+    invd = jnp.pad(invd, (0, rows_pad - invd.shape[0]))
+    counts_sum = None
+    for k, (cps_k, rloc_k, starts_k) in enumerate(
+        zip(data.cps_c, data.rloc_c, data.sid_starts_c)
+    ):
+        sl = jax.lax.slice(invd, (k * RSLICE,), ((k + 1) * RSLICE,))
+        u = cps_k * gather_rows(sl, rloc_k)
+        part = seg_sum_sorted(u, starts_k)
+        counts_sum = part if counts_sum is None else counts_sum + part
+    counts_t = counts_sum * theta  # [M+1]
     counts = counts_t.at[0].set(noise.astype(jnp.float32) + data.n0)
     theta_new = counts / jnp.sum(counts.astype(jnp.float64)).astype(jnp.float32)
     return theta_new, counts
@@ -291,10 +354,13 @@ def run_fast_em_loop(
 def fast_final_fracs(theta: jnp.ndarray, data: FastEStepData):
     """Final posterior responsibilities in ORIGINAL hit/read order
     (EM.cpp:460-478 calcExpectedWeights)."""
-    flat, _, noise_fracs = _bucket_fracs(theta, data)
+    _, _, tiles = _bucket_denoms(theta, data)
+    flat_parts = [(w * inv[:, None]).reshape(-1) for w, inv, _ in tiles]
+    flat = jnp.concatenate(flat_parts) if len(flat_parts) > 1 else flat_parts[0]
     frac = flat[data.restore_hit]
     frac_noise = jnp.zeros(data.n_reads, dtype=jnp.float32)
-    for nf, rsel in zip(noise_fracs, data.restore_read_b):
+    for (_, inv, w0), rsel in zip(tiles, data.restore_read_b):
         idx = jnp.asarray(rsel.astype(np.int32))
+        nf = w0 * inv
         frac_noise = frac_noise.at[idx].set(nf[: idx.shape[0]])
     return frac, frac_noise

@@ -460,12 +460,43 @@ def calculate_expression(
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="rsem-tpu-calculate-expression",
-        description="Estimate expression from transcript alignments (SAM/BAM).",
+        description="Estimate expression from RNA-Seq reads (running an "
+        "external aligner) or from transcript alignments (SAM/BAM).",
     )
-    p.add_argument("--alignments", required=True,
-                   help="SAM/BAM aligned to the transcript reference")
-    p.add_argument("reference_name")
-    p.add_argument("sample_name")
+    p.add_argument(
+        "inputs", nargs="+",
+        help="upstream_read_file(s) [downstream_read_file(s)] "
+        "reference_name sample_name; with --alignments: input "
+        "reference_name sample_name (read-file lists are comma-separated)",
+    )
+    p.add_argument("--alignments", nargs="?", const=True, default=None,
+                   metavar="SAM/BAM",
+                   help="input is SAM/BAM aligned to the transcript "
+                   "reference (skip the aligner step)")
+    # aligner selection + knobs (rsem-calculate-expression:33-67,391-565)
+    p.add_argument("--bowtie", dest="use_bowtie", action="store_true")
+    p.add_argument("--bowtie2", action="store_true")
+    p.add_argument("--star", action="store_true")
+    p.add_argument("--hisat2-hca", action="store_true")
+    p.add_argument("--bowtie-path", default="")
+    p.add_argument("--bowtie2-path", default="")
+    p.add_argument("--star-path", default="")
+    p.add_argument("--hisat2-path", default="")
+    p.add_argument("--bowtie-n", type=int, default=2)
+    p.add_argument("--bowtie-e", type=int, default=99999999)
+    p.add_argument("--bowtie-m", type=int, default=200)
+    p.add_argument("--bowtie-chunkmbs", type=int, default=0)
+    p.add_argument("--bowtie2-mismatch-rate", type=float, default=0.1)
+    p.add_argument("--bowtie2-k", type=int, default=200)
+    p.add_argument("--bowtie2-sensitivity-level", default="sensitive",
+                   choices=["very_fast", "fast", "sensitive",
+                            "very_sensitive"])
+    p.add_argument("--star-gzipped-read-file", action="store_true")
+    p.add_argument("--star-bzipped-read-file", action="store_true")
+    p.add_argument("--phred33-quals", action="store_true", default=True)
+    p.add_argument("--phred64-quals", action="store_true", default=False)
+    p.add_argument("--solexa-quals", action="store_true", default=False)
+    p.add_argument("-p", "--num-threads", type=int, default=1)
     p.add_argument("--paired-end", action="store_true")
     p.add_argument("--no-qualities", action="store_true")
     p.add_argument("--strandedness", choices=["none", "forward", "reverse"],
@@ -503,8 +534,36 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _resolve_inputs(args):
+    """Split the positional inputs into (alignment_file_or_None, read_lists,
+    reference_name, sample_name) following the reference's 3/4-positional
+    convention (rsem-calculate-expression:337-348)."""
+    pos = list(args.inputs)
+    if args.alignments is not None:
+        if isinstance(args.alignments, str):
+            if len(pos) != 2:
+                raise SystemExit(
+                    "with --alignments <file>: reference_name sample_name")
+            return args.alignments, None, pos[0], pos[1]
+        if len(pos) != 3:
+            raise SystemExit(
+                "with --alignments: input reference_name sample_name")
+        return pos[0], None, pos[1], pos[2]
+    if args.paired_end:
+        if len(pos) != 4:
+            raise SystemExit(
+                "paired-end: upstream_read_file(s) downstream_read_file(s) "
+                "reference_name sample_name")
+        return None, (pos[0], pos[1]), pos[2], pos[3]
+    if len(pos) != 3:
+        raise SystemExit(
+            "single-end: upstream_read_file(s) reference_name sample_name")
+    return None, (pos[0], None), pos[1], pos[2]
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    input_file, read_lists, reference_name, sample_name = _resolve_inputs(args)
     cfg = ExpressionConfig(
         paired_end=args.paired_end,
         no_qualities=args.no_qualities,
@@ -541,8 +600,54 @@ def main(argv=None) -> int:
         keep_intermediate_files=args.keep_intermediate_files,
         quiet=args.quiet,
     )
-    calculate_expression(args.alignments, args.reference_name,
-                         args.sample_name, cfg)
+
+    if input_file is None:
+        # run the external aligner (rsem-calculate-expression:391-565)
+        from .aligners import AlignerConfig, run_alignment
+
+        aligner = "bowtie"
+        if args.bowtie2:
+            aligner = "bowtie2"
+        elif args.star:
+            aligner = "star"
+        elif args.hisat2_hca:
+            aligner = "hisat2-hca"
+        acfg = AlignerConfig(
+            aligner=aligner,
+            n_threads=args.num_threads,
+            no_qualities=args.no_qualities,
+            phred33=not (args.phred64_quals or args.solexa_quals),
+            phred64=args.phred64_quals,
+            solexa=args.solexa_quals,
+            probF=cfg.probF,
+            quiet=args.quiet,
+            bowtie_path=args.bowtie_path,
+            bowtie_n=args.bowtie_n,
+            bowtie_e=args.bowtie_e,
+            bowtie_m=args.bowtie_m,
+            bowtie_chunkmbs=args.bowtie_chunkmbs,
+            seed_length=args.seed_length,
+            bowtie2_path=args.bowtie2_path,
+            bowtie2_mismatch_rate=args.bowtie2_mismatch_rate,
+            bowtie2_k=args.bowtie2_k,
+            bowtie2_sensitivity_level=args.bowtie2_sensitivity_level,
+            fragment_length_min=args.fragment_length_min,
+            fragment_length_max=args.fragment_length_max,
+            star_path=args.star_path,
+            star_gzipped_read_file=args.star_gzipped_read_file,
+            star_bzipped_read_file=args.star_bzipped_read_file,
+            hisat2_path=args.hisat2_path,
+        )
+        temp_dir = f"{sample_name}.temp"
+        os.makedirs(temp_dir, exist_ok=True)
+        imd = os.path.join(temp_dir, os.path.basename(sample_name))
+        input_file = run_alignment(
+            acfg, reference_name, sample_name, imd,
+            read_lists[0], read_lists[1],
+            log=(lambda *a: None) if args.quiet else print,
+        )
+
+    calculate_expression(input_file, reference_name, sample_name, cfg)
     return 0
 
 

@@ -33,6 +33,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--polyA", action="store_true")
     p.add_argument("--polyA-length", type=int, default=125)
     p.add_argument("--no-polyA-subset", default=None)
+    # aligner index builds (rsem-prepare-reference:166-204)
+    p.add_argument("--bowtie", dest="use_bowtie", action="store_true")
+    p.add_argument("--bowtie-path", default="")
+    p.add_argument("--bowtie2", action="store_true")
+    p.add_argument("--bowtie2-path", default="")
+    p.add_argument("--star", action="store_true")
+    p.add_argument("--star-path", default="")
+    p.add_argument("--star-sjdboverhang", type=int, default=100)
+    p.add_argument("--hisat2-hca", action="store_true")
+    p.add_argument("--hisat2-path", default="")
+    p.add_argument("-p", "--num-threads", type=int, default=1)
     p.add_argument("-q", "--quiet", action="store_true")
     return p
 
@@ -54,11 +65,47 @@ def main(argv=None) -> int:
         no_polyA_subset=args.no_polyA_subset,
         quiet=args.quiet,
     )
-    ts, ref = prepare_reference(
-        args.reference_fasta_files.split(","), args.reference_name, cfg
-    )
+    fasta_files = args.reference_fasta_files.split(",")
+    ts, ref = prepare_reference(fasta_files, args.reference_name, cfg)
     if not args.quiet:
         print(f"Prepared reference '{args.reference_name}': {ts.M} transcripts.")
+
+    # aligner index builds (rsem-prepare-reference:166-204)
+    from .aligners import (
+        bowtie2_build_command,
+        bowtie_build_command,
+        hisat2_build_command,
+        run_command,
+        star_genome_generate_command,
+    )
+
+    log = (lambda *a: None) if args.quiet else print
+    if args.use_bowtie:
+        run_command(bowtie_build_command(args.bowtie_path,
+                                         args.reference_name, args.quiet),
+                    log=log)
+    if args.bowtie2:
+        run_command(bowtie2_build_command(args.bowtie2_path,
+                                          args.reference_name,
+                                          args.num_threads, args.quiet),
+                    log=log)
+    if args.star:
+        if not args.gtf and not args.gff3:
+            raise SystemExit(
+                "STAR index builds need the genome + GTF annotation")
+        run_command(
+            star_genome_generate_command(
+                args.star_path, args.reference_name, fasta_files,
+                args.gtf or args.gff3, args.star_sjdboverhang,
+                args.num_threads,
+            ),
+            log=log,
+        )
+    if args.hisat2_hca:
+        run_command(hisat2_build_command(args.hisat2_path,
+                                         args.reference_name,
+                                         args.num_threads, args.quiet),
+                    log=log)
     return 0
 
 

@@ -114,11 +114,19 @@ def run_ci(
     gi,
     cfg: CIConfig,
     ta=None,
+    mesh=None,
 ) -> CIResult:
+    """mesh: optional jax Mesh — phase I shards count vectors over 'dp'
+    (calcCI.cpp:166-216's thread-per-file), phase II shards transcripts
+    (calcCI.cpp:404-420's gene ranges); gene sums cross shards via XLA
+    collectives."""
     nCV, M1 = countvectors.shape
     M = M1 - 1
     n = nCV * cfg.nspc
     cover = int(cfg.confidence * n - 1e-8) + 1
+    n_dev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
     eel_d = jnp.asarray(eel, dtype=jnp.float32)
     mw_d = jnp.asarray(mw, dtype=jnp.float32)
@@ -140,21 +148,35 @@ def run_ci(
         )
     )
     key = jax.random.PRNGKey(cfg.seed)
-    tpm_rows = []
-    lbar_rows = []
-    for lo in range(0, nCV, cfg.cv_chunk):
-        hi = min(nCV, lo + cfg.cv_chunk)
-        t, l = sample_fn(jax.random.fold_in(key, lo), cvs[lo:hi])
-        tpm_rows.append(t)
-        lbar_rows.append(l)
-    tpm = jnp.concatenate(tpm_rows, axis=0)  # [n, M]
-    l_bar = jnp.concatenate(lbar_rows, axis=0)  # [n]
+    if mesh is not None and nCV % n_dev == 0:
+        # one sharded dispatch: count-vector rows split across devices
+        cvs = jax.device_put(cvs, NamedSharding(mesh, P("dp", None)))
+        tpm, l_bar = sample_fn(key, cvs)
+    else:
+        tpm_rows = []
+        lbar_rows = []
+        for lo in range(0, nCV, cfg.cv_chunk):
+            hi = min(nCV, lo + cfg.cv_chunk)
+            t, l = sample_fn(jax.random.fold_in(key, lo), cvs[lo:hi])
+            tpm_rows.append(t)
+            lbar_rows.append(l)
+        tpm = jnp.concatenate(tpm_rows, axis=0)  # [n, M]
+        l_bar = jnp.concatenate(lbar_rows, axis=0)  # [n]
     inv_lbar = (1e3 / l_bar)[:, None]
 
     # ---- Phase II ----
     ci_fn = jax.jit(lambda s: _ci_columns(s, cover))
 
     def bounds(samples) -> CIBounds:
+        if mesh is not None:
+            # shard transcripts/groups across devices for the big sort
+            T = samples.shape[1]
+            padT = (-T) % n_dev
+            s = jnp.pad(samples, ((0, 0), (0, padT)))
+            s = jax.device_put(s, NamedSharding(mesh, P(None, "dp")))
+            lb, ub, cqv = ci_fn(s)
+            return CIBounds(np.array(lb)[:T], np.array(ub)[:T],
+                            np.array(cqv)[:T])
         lb, ub, cqv = ci_fn(samples)
         return CIBounds(np.array(lb), np.array(ub), np.array(cqv))
 

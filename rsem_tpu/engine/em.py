@@ -83,6 +83,71 @@ def _bchange(theta_new: np.ndarray, theta_old: np.ndarray):
     return change.max(initial=0.0), int((change >= STOP_CRITERIA).sum())
 
 
+def _n_fast_devices() -> int:
+    """Devices the theta-only loop shards over (1 = single-device path)."""
+    try:
+        return len(jax.devices())
+    except RuntimeError:
+        return 1
+
+
+def _run_fast_loop(theta, bundle, lcp_np, lnp_np, M, N0, em_cfg, rounds):
+    """Dispatch the theta-only EM while_loop: read-sharded over the mesh
+    when >1 device is visible (EM.cpp:373-389's pthread loop, psum-merged),
+    single-device otherwise. Returns (theta f64, rounds, fast_ctx) where
+    fast_ctx recomputes the final posterior fracs."""
+    n_dev = _n_fast_devices()
+    if n_dev > 1:
+        from ..parallel.fast_sharded import (
+            build_fast_data_sharded,
+            fast_final_fracs_sharded,
+            place_fast_sharded,
+            run_fast_em_loop_sharded,
+        )
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_dev)
+        sd = place_fast_sharded(
+            mesh,
+            build_fast_data_sharded(bundle.hits, lcp_np, lnp_np, M,
+                                    float(N0), n_dev),
+        )
+        theta_dev, counts_dev, rounds_dev = run_fast_em_loop_sharded(
+            jnp.asarray(theta, dtype=jnp.float32), sd, mesh,
+            min_round=em_cfg.min_round, max_round=em_cfg.max_round,
+            start_round=rounds,
+        )
+        final = lambda th: fast_final_fracs_sharded(
+            jnp.asarray(th, dtype=jnp.float32), sd)
+        return np.asarray(theta_dev, dtype=np.float64), int(rounds_dev), final
+
+    from ..ops.fast_estep import (
+        build_fast_data,
+        fast_final_fracs,
+        run_fast_em_loop,
+    )
+
+    fdata = build_fast_data(bundle.hits, lcp_np, lnp_np, M, float(N0))
+    loop_fn = jax.jit(
+        partial(run_fast_em_loop, min_round=em_cfg.min_round,
+                max_round=em_cfg.max_round)
+    )
+    theta_dev, counts_dev, rounds_dev = loop_fn(
+        jnp.asarray(theta, dtype=jnp.float32), fdata,
+        start_round=jnp.asarray(rounds, dtype=jnp.int32),
+    )
+
+    def final(th):
+        f, fn_ = jax.jit(lambda t: fast_final_fracs(t, fdata))(
+            jnp.asarray(th, dtype=jnp.float32))
+        return (
+            np.asarray(f, dtype=np.float64)[: bundle.hits.n_hits],
+            np.asarray(fn_, dtype=np.float64)[: bundle.hits.n_reads],
+        )
+
+    return np.asarray(theta_dev, dtype=np.float64), int(rounds_dev), final
+
+
 def _theta_init(cnt, M: int) -> np.ndarray:
     theta = np.empty(M + 1)
     theta[0] = max(cnt.N0 / (cnt.n_tot - cnt.N2), 1e-8)
@@ -163,28 +228,94 @@ def _run_em_hybrid(model, ref, bundle, em_cfg, need_posteriors) -> EMResult:
             _b, tot_num = _bchange(new_theta, theta)
             theta = new_theta
     else:
-        from ..ops.fast_estep import build_fast_data, run_fast_em_loop
-
-        fdata = build_fast_data(bundle.hits, lcp_np, lnp_np, M, float(N0))
-        loop_fn = jax.jit(
-            partial(
-                run_fast_em_loop,
-                min_round=em_cfg.min_round,
-                max_round=em_cfg.max_round,
-            )
+        theta, rounds, _final = _run_fast_loop(
+            theta, bundle, lcp_np, lnp_np, M, N0, em_cfg, rounds
         )
-        theta_dev, counts_dev, rounds_dev = loop_fn(
-            jnp.asarray(theta, dtype=jnp.float32), fdata,
-            start_round=jnp.asarray(rounds, dtype=jnp.int32),
-        )
-        theta = np.asarray(theta_dev, dtype=np.float64)
-        rounds = int(rounds_dev)
 
     # final expected weights & counts (EM.cpp:460-478)
     frac_hit, frac_noise, counts = native_em_count_step(
         bundle.hits, conprb, ncp, theta, M
     )
     counts[0] += N0
+    return _finish(model, ref, bundle, theta, counts, rounds, frac_hit,
+                   frac_noise, lcp_np, lnp_np, need_posteriors)
+
+
+# --------------------------------------------------------------------- #
+# sharded device path: model rounds + conprb freeze + fast loop, all     #
+# under the mesh (EM.cpp:373-404's thread fork/join/reduce, psum'd)      #
+# --------------------------------------------------------------------- #
+def _run_em_device_sharded(model, ref, bundle, em_cfg, need_posteriors,
+                           n_dev) -> EMResult:
+    from ..parallel.fast_sharded import partition_reads_by_hits
+    from ..parallel.mesh import (
+        make_mesh,
+        make_sharded_conprb,
+        make_sharded_round,
+        place_sharded,
+        shard_bundle_by_read,
+    )
+
+    spec = model.spec
+    cnt = bundle.cnt
+    M = ref.M
+    N0 = cnt.N0
+    mesh = make_mesh(n_dev)
+    sharded = place_sharded(mesh, shard_bundle_by_read(bundle, n_dev))
+    bounds = partition_reads_by_hits(bundle.hits.read_offsets, n_dev)
+    hit_bounds = bundle.hits.read_offsets[bounds]
+
+    refd = RefDevice.from_reference(ref)
+    kcfg = KernelConfig.from_model(model, sharded.m1.codes.shape[2])
+
+    def to_dev(model_np: Dict[str, np.ndarray]):
+        return {k: jnp.asarray(v, dtype=jnp.float32) for k, v in model_np.items()}
+
+    dev_model = to_dev(model.device_arrays())
+    round_fn = make_sharded_round(
+        mesh, kcfg, M, float(N0), float(spec.probF), sharded.n_reads_dev,
+        with_suff=True,
+    )(refd, sharded.m1, sharded.m2, sharded.hits, dev_model)
+    conprb_fn = make_sharded_conprb(mesh, kcfg)(
+        refd, sharded.m1, sharded.m2, sharded.hits, dev_model
+    )
+
+    theta = _theta_init(cnt, M)
+    rounds = 0
+    while rounds < em_cfg.update_model_rounds and rounds < em_cfg.max_round:
+        rounds += 1
+        log_theta = jnp.asarray(_safe_log_np(theta), dtype=jnp.float32)
+        new_theta, counts, suff = round_fn(
+            log_theta, refd, sharded.m1, sharded.m2, sharded.hits, dev_model
+        )
+        suff_np = {k: np.asarray(v, dtype=np.float64) for k, v in suff.items()}
+        model.finish_round(suff_np)
+        dev_model = to_dev(model.device_arrays())
+        new_theta = np.asarray(new_theta, dtype=np.float64)
+        bchg, _ = _bchange(new_theta, theta)
+        theta = new_theta
+        if em_cfg.verbose:
+            print(f"ROUND = {rounds}, bChange = {bchg:.6g}")
+
+    # conprb freeze under the mesh, unpadded + restitched on host
+    lcp_sh, lnp_sh = conprb_fn(refd, sharded.m1, sharded.m2, sharded.hits,
+                               dev_model)
+    lcp_sh = np.asarray(lcp_sh, dtype=np.float64)
+    lnp_sh = np.asarray(lnp_sh, dtype=np.float64)
+    lcp_np = np.concatenate([
+        lcp_sh[d, : hit_bounds[d + 1] - hit_bounds[d]] for d in range(n_dev)
+    ]) if bundle.hits.n_hits else np.zeros(0)
+    lnp_np = np.concatenate([
+        lnp_sh[d, : bounds[d + 1] - bounds[d]] for d in range(n_dev)
+    ])
+
+    theta, rounds, final = _run_fast_loop(
+        theta, bundle, lcp_np, lnp_np, M, N0, em_cfg, rounds
+    )
+    frac_hit, frac_noise = final(theta)
+    counts = np.zeros(M + 1)
+    np.add.at(counts, bundle.hits.sid, frac_hit)
+    counts[0] = frac_noise.sum() + N0
     return _finish(model, ref, bundle, theta, counts, rounds, frac_hit,
                    frac_noise, lcp_np, lnp_np, need_posteriors)
 
@@ -264,30 +395,12 @@ def _run_em_device(model, ref, bundle, em_cfg, need_posteriors) -> EMResult:
         if em_cfg.verbose:
             print(f"ROUND = {rounds}, bChange = {bchg:.6g}")
 
-    from ..ops.fast_estep import (
-        build_fast_data,
-        fast_final_fracs,
-        run_fast_em_loop,
-    )
-
     lcp_np = np.asarray(log_conprb, dtype=np.float64)[: bundle.hits.n_hits]
     lnp_np = np.asarray(log_ncp, dtype=np.float64)[: bundle.hits.n_reads]
-    fdata = build_fast_data(bundle.hits, lcp_np, lnp_np, M, float(N0))
-    loop_fn = jax.jit(
-        partial(run_fast_em_loop, min_round=em_cfg.min_round,
-                max_round=em_cfg.max_round)
+    theta, rounds, final = _run_fast_loop(
+        theta, bundle, lcp_np, lnp_np, M, N0, em_cfg, rounds
     )
-    theta_dev, counts_dev, rounds_dev = loop_fn(
-        jnp.asarray(theta, dtype=jnp.float32), fdata,
-        start_round=jnp.asarray(rounds, dtype=jnp.int32),
-    )
-    theta = np.asarray(theta_dev, dtype=np.float64)
-    rounds = int(rounds_dev)
-
-    final_fn = jax.jit(fast_final_fracs)
-    frac_hit, frac_noise = final_fn(jnp.asarray(theta, dtype=jnp.float32), fdata)
-    frac_hit = np.asarray(frac_hit, dtype=np.float64)[: bundle.hits.n_hits]
-    frac_noise = np.asarray(frac_noise, dtype=np.float64)[: bundle.reads.n]
+    frac_hit, frac_noise = final(theta)
     counts = np.zeros(M + 1)
     np.add.at(counts, bundle.hits.sid, frac_hit)
     counts[0] = frac_noise.sum() + N0
@@ -317,6 +430,10 @@ def run_em(
         if backend == "native":
             em_cfg = EMConfig(**{**em_cfg.__dict__, "theta_backend": "native"})
         return _run_em_hybrid(model, ref, bundle, em_cfg, need_posteriors)
+    n_dev = _n_fast_devices()
+    if n_dev > 1:
+        return _run_em_device_sharded(model, ref, bundle, em_cfg,
+                                      need_posteriors, n_dev)
     return _run_em_device(model, ref, bundle, em_cfg, need_posteriors)
 
 

@@ -141,10 +141,15 @@ def run_gibbs(
     omit: Optional[np.ndarray] = None,
     prior: Optional[np.ndarray] = None,
     ta=None,
+    mesh=None,
 ) -> GibbsResult:
     """hits: io.HitArrays; log_conprb/log_ncp: final model conprbs from EM
     (the .ofg content); gi: gene GroupInfo; ta: transcript->allele GroupInfo
-    in allele mode; prior: [M+1] per-isoform pseudo-counts (pRSEM --prior)."""
+    in allele mode; prior: [M+1] per-isoform pseudo-counts (pRSEM --prior).
+
+    mesh: optional jax Mesh — chains are sharded over its 'dp' axis (the
+    TPU-native form of the reference's thread-per-chain, Gibbs.cpp:207-254);
+    the posterior matrix is replicated, chain moments merge on host."""
     C = cfg.n_chains
     assert cfg.nsamples % C == 0, "nsamples must be divisible by n_chains"
     samples_per_chain = cfg.nsamples // C
@@ -290,6 +295,14 @@ def run_gibbs(
         return acc, cvs
 
     keys = jax.random.split(jax.random.PRNGKey(cfg.seed), C)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = int(np.prod(mesh.devices.shape))
+        assert C % n_dev == 0, (
+            f"n_chains={C} must be divisible by mesh size {n_dev}"
+        )
+        keys = jax.device_put(keys, NamedSharding(mesh, P("dp")))
     accs, cvs = jax.jit(jax.vmap(chain))(keys)
 
     ns = cfg.nsamples

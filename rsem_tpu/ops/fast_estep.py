@@ -90,11 +90,39 @@ def _bucket_sizes(max_hits: int) -> list:
     return out
 
 
+def natural_rows(nh: np.ndarray, sizes) -> list:
+    """Rows each bucket occupies for the given hits-per-read vector (the
+    padding rule of build_fast_data), without building the tiles. Used to
+    force identical tile shapes across read shards (shard_map requires
+    equal local shapes on every device)."""
+    bucket_of = np.searchsorted(np.asarray(sizes), nh)
+    rows = []
+    for bi, K in enumerate(sizes):
+        n_k = int((bucket_of == bi).sum())
+        if K >= BLOCK:
+            rows.append(max(n_k, 1))
+        else:
+            q = BLOCK // K
+            rows.append(max(-(-n_k // q) * q, q))
+    return rows
+
+
 def build_fast_data(
-    hits, log_conprb: np.ndarray, log_ncp: np.ndarray, M: int, n0: float
+    hits,
+    log_conprb: np.ndarray,
+    log_ncp: np.ndarray,
+    M: int,
+    n0: float,
+    sizes: Optional[list] = None,
+    forced_rows: Optional[list] = None,
 ) -> FastEStepData:
     """Host-side setup after conprb freeze. hits: io.HitArrays (unpadded);
-    log_conprb/log_ncp: numpy [H]/[N]."""
+    log_conprb/log_ncp: numpy [H]/[N].
+
+    sizes/forced_rows: externally imposed bucket widths and per-bucket row
+    counts (>= the natural ones); used by build_fast_data_sharded so every
+    read shard produces identically-shaped tiles. When forced, empty
+    buckets are emitted as all-padding tiles instead of skipped."""
     H = hits.n_hits
     N = hits.n_reads
     sid = hits.sid.astype(np.int64)
@@ -116,7 +144,8 @@ def build_fast_data(
     min_sid = np.full(N, np.iinfo(np.int64).max)
     np.minimum.at(min_sid, rid, sid)
 
-    sizes = _bucket_sizes(int(nh.max()) if N else 1)
+    if sizes is None:
+        sizes = _bucket_sizes(int(nh.max()) if N else 1)
     bucket_of = np.searchsorted(np.asarray(sizes), nh)  # smallest K >= nh
 
     sid_b, cps_b, ncs_b, restore_read_b = [], [], [], []
@@ -125,7 +154,7 @@ def build_fast_data(
     row_base = 0
     for bi, K in enumerate(sizes):
         rsel = np.nonzero(bucket_of == bi)[0]
-        if len(rsel) == 0:
+        if len(rsel) == 0 and forced_rows is None:
             continue
         rsel = rsel[np.argsort(min_sid[rsel], kind="stable")]
         n_k = len(rsel)
@@ -136,6 +165,9 @@ def build_fast_data(
         else:
             q = BLOCK // K
             rows = max(-(-n_k // q) * q, q)
+        if forced_rows is not None:
+            assert forced_rows[bi] >= rows, (bi, forced_rows[bi], rows)
+            rows = forced_rows[bi]
         sid_t = np.zeros((rows, K), dtype=np.int32)
         cps_t = np.zeros((rows, K), dtype=np.float32)
         orig_t = np.full((rows, K), -1, dtype=np.int64)
@@ -292,9 +324,14 @@ def _bucket_denoms(theta: jnp.ndarray, data: FastEStepData):
 
 
 def fast_theta_round(
-    theta: jnp.ndarray, data: FastEStepData
+    theta: jnp.ndarray, data: FastEStepData, axis_name: Optional[str] = None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One fixed-conprb EM round; returns (new_theta f32 [M+1], counts).
+
+    With axis_name set (inside shard_map over read shards), the per-shard
+    partial counts and noise mass are psum-merged before the replicated
+    M-step — the TPU-native equivalent of the reference's serial countvs
+    reduction (EM.cpp:385-398).
 
     counts_m = theta_m * sum_{hits of m} cps / denom(read): theta factors
     out of the per-transcript sum, so the segment sum runs over static
@@ -312,6 +349,9 @@ def fast_theta_round(
         u = cps_k * gather_rows(sl, rloc_k)
         part = seg_sum_sorted(u, starts_k)
         counts_sum = part if counts_sum is None else counts_sum + part
+    if axis_name is not None:
+        counts_sum = jax.lax.psum(counts_sum, axis_name)
+        noise = jax.lax.psum(noise, axis_name)
     counts_t = counts_sum * theta  # [M+1]
     counts = counts_t.at[0].set(noise.astype(jnp.float32) + data.n0)
     theta_new = counts / jnp.sum(counts.astype(jnp.float64)).astype(jnp.float32)
@@ -324,10 +364,14 @@ def run_fast_em_loop(
     min_round: int = MIN_ROUND,
     max_round: int = MAX_ROUND,
     start_round: int = 0,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full on-device EM loop with the reference convergence rule.
 
-    Returns (theta, counts, rounds_executed_total)."""
+    Returns (theta, counts, rounds_executed_total). With axis_name set the
+    loop runs inside shard_map: theta/counts are replicated, the round's
+    sufficient statistics are psum'd, so the convergence decision is
+    identical on every device."""
 
     def cond(state):
         theta, counts, rounds, tot_num = state
@@ -335,7 +379,7 @@ def run_fast_em_loop(
 
     def body(state):
         theta, counts, rounds, _ = state
-        theta_new, counts = fast_theta_round(theta, data)
+        theta_new, counts = fast_theta_round(theta, data, axis_name=axis_name)
         mask = theta >= THETA_CUT
         change = jnp.where(mask, jnp.abs(theta_new - theta) / jnp.where(mask, theta, 1.0), 0.0)
         tot_num = jnp.sum(change >= STOP_CRITERIA).astype(jnp.int32)

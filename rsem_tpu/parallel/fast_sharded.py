@@ -1,0 +1,214 @@
+"""Read-sharded theta-only EM loop over a device mesh.
+
+The reference parallelizes exactly this loop — the cached-conprb E-step
+rounds that dominate EM wall clock — with pthreads over read shards and a
+serial reduction (EM.cpp:135-157,373-398). TPU-native equivalent: the
+bucketed dense hit tiles (ops/fast_estep) are built per read shard with
+identical shapes on every device, the whole lax.while_loop runs inside one
+shard_map, and each round psums the [M+1] partial counts + noise mass so
+theta and the convergence decision stay replicated.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..constants import MAX_ROUND, MIN_ROUND
+from ..ops.fast_estep import (
+    BLOCK,
+    RSLICE,
+    FastEStepData,
+    _bucket_sizes,
+    build_fast_data,
+    fast_final_fracs,
+    natural_rows,
+    run_fast_em_loop,
+)
+
+
+class _HitsView(NamedTuple):
+    """The slice of HitArrays one read shard sees (offsets rebased)."""
+
+    n_hits: int
+    n_reads: int
+    sid: np.ndarray
+    read_offsets: np.ndarray
+
+
+class FastShardLeaves(NamedTuple):
+    """Device arrays of the per-shard fast E-step data, stacked [D, ...]."""
+
+    sid_b: Tuple[jnp.ndarray, ...]
+    cps_b: Tuple[jnp.ndarray, ...]
+    ncs_b: Tuple[jnp.ndarray, ...]
+    cps_c: Tuple[jnp.ndarray, ...]
+    rloc_c: Tuple[jnp.ndarray, ...]
+    sid_starts_c: Tuple[jnp.ndarray, ...]
+
+
+class ShardedFastData:
+    """Host container: stacked device leaves + static config + the per-shard
+    restore info needed for the final posterior-weight pass."""
+
+    def __init__(self, leaves: FastShardLeaves, M: int, n0: float,
+                 bounds: np.ndarray, hit_bounds: np.ndarray,
+                 restore: List[Tuple[np.ndarray, tuple]], n_chunks: int):
+        self.leaves = leaves
+        self.M = M
+        self.n0 = n0
+        self.bounds = bounds  # [D+1] read partition
+        self.hit_bounds = hit_bounds  # [D+1] hit partition
+        self.restore = restore  # per shard (restore_hit, restore_read_b)
+        self.n_chunks = n_chunks
+
+    @property
+    def n_shards(self) -> int:
+        return len(self.bounds) - 1
+
+
+def partition_reads_by_hits(offsets: np.ndarray, n_shards: int) -> np.ndarray:
+    """Contiguous read partition balanced by cumulative hit count — the
+    reference's thread partitioning strategy (EM.cpp:135-157)."""
+    n_reads = len(offsets) - 1
+    total = int(offsets[-1])
+    targets = (np.arange(1, n_shards) * total) // n_shards
+    cuts = np.searchsorted(offsets[1:], targets, side="left") + 1
+    cuts = np.minimum(cuts, n_reads)
+    return np.concatenate([[0], cuts, [n_reads]]).astype(np.int64)
+
+
+def build_fast_data_sharded(
+    hits, log_conprb: np.ndarray, log_ncp: np.ndarray, M: int, n0: float,
+    n_shards: int,
+) -> ShardedFastData:
+    offs = hits.read_offsets.astype(np.int64)
+    bounds = partition_reads_by_hits(offs, n_shards)
+    hit_bounds = offs[bounds]
+    nh = np.diff(offs)
+
+    # identical bucket layout on every shard: global widths, per-bucket rows
+    # = max natural rows over shards
+    sizes = _bucket_sizes(int(nh.max()) if len(nh) else 1)
+    forced = None
+    for d in range(n_shards):
+        r = natural_rows(nh[bounds[d]:bounds[d + 1]], sizes)
+        forced = r if forced is None else [max(a, b) for a, b in zip(forced, r)]
+
+    shards: List[FastEStepData] = []
+    for d in range(n_shards):
+        lo, hi = bounds[d], bounds[d + 1]
+        hlo, hhi = hit_bounds[d], hit_bounds[d + 1]
+        view = _HitsView(
+            n_hits=int(hhi - hlo),
+            n_reads=int(hi - lo),
+            sid=hits.sid[hlo:hhi],
+            read_offsets=(offs[lo:hi + 1] - hlo),
+        )
+        shards.append(
+            build_fast_data(view, log_conprb[hlo:hhi], log_ncp[lo:hi], M,
+                            n0, sizes=sizes, forced_rows=forced)
+        )
+
+    def stack(field: str) -> Tuple[jnp.ndarray, ...]:
+        tuples = [getattr(s, field) for s in shards]
+        return tuple(
+            jnp.stack([t[i] for t in tuples]) for i in range(len(tuples[0]))
+        )
+
+    leaves = FastShardLeaves(
+        sid_b=stack("sid_b"), cps_b=stack("cps_b"), ncs_b=stack("ncs_b"),
+        cps_c=stack("cps_c"), rloc_c=stack("rloc_c"),
+        sid_starts_c=stack("sid_starts_c"),
+    )
+    restore = [(s.restore_hit, s.restore_read_b) for s in shards]
+    return ShardedFastData(leaves, M, float(n0), bounds, hit_bounds, restore,
+                           n_chunks=len(shards[0].cps_c))
+
+
+def _local_data(leaves: FastShardLeaves, M: int, n0: float,
+                n_chunks: int) -> FastEStepData:
+    """Reassemble a FastEStepData view inside the shard_map body (leading
+    device axis of size 1 squeezed away)."""
+    sq = lambda tt: tuple(x[0] for x in tt)
+    return FastEStepData(
+        sid_b=sq(leaves.sid_b), cps_b=sq(leaves.cps_b), ncs_b=sq(leaves.ncs_b),
+        cps_c=sq(leaves.cps_c), rloc_c=sq(leaves.rloc_c),
+        sid_starts_c=sq(leaves.sid_starts_c),
+        rows_pad=n_chunks * RSLICE, restore_hit=None, restore_read_b=(),
+        n_reads=0, M=M, n0=n0,
+    )
+
+
+def place_fast_sharded(mesh: Mesh, sd: ShardedFastData) -> ShardedFastData:
+    """Shard the stacked leaves over the mesh's 'dp' axis."""
+    put = lambda x: jax.device_put(
+        x, NamedSharding(mesh, P("dp", *([None] * (x.ndim - 1))))
+    )
+    sd.leaves = jax.tree.map(put, sd.leaves)
+    return sd
+
+
+def run_fast_em_loop_sharded(
+    theta0: jnp.ndarray,
+    sd: ShardedFastData,
+    mesh: Mesh,
+    min_round: int = MIN_ROUND,
+    max_round: int = MAX_ROUND,
+    start_round: int = 0,
+):
+    """The full on-device EM while_loop, read-sharded over the mesh.
+    Returns (theta, counts, rounds) — replicated."""
+
+    def local(theta0, start_round, leaves):
+        data = _local_data(leaves, sd.M, sd.n0, sd.n_chunks)
+        return run_fast_em_loop(
+            theta0, data, min_round=min_round, max_round=max_round,
+            start_round=start_round, axis_name="dp",
+        )
+
+    specs_data = jax.tree.map(lambda _: P("dp"), sd.leaves)
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(P(), P(), specs_data),
+        out_specs=(P(), P(), P()), check_vma=False,
+    )
+    return jax.jit(fn)(theta0, jnp.asarray(start_round, jnp.int32), sd.leaves)
+
+
+def fast_final_fracs_sharded(theta: jnp.ndarray, sd: ShardedFastData):
+    """Final posterior responsibilities (EM.cpp:460-478) from the sharded
+    layout, merged to the ORIGINAL global hit/read order on host. One pass,
+    executed shard-by-shard (theta is replicated)."""
+    H = int(sd.hit_bounds[-1])
+    N = int(sd.bounds[-1])
+    frac = np.empty(H, dtype=np.float64)
+    frac_noise = np.empty(N, dtype=np.float64)
+    for d in range(sd.n_shards):
+        restore_hit, restore_read_b = sd.restore[d]
+        data = FastEStepData(
+            sid_b=tuple(t[d] for t in sd.leaves.sid_b),
+            cps_b=tuple(t[d] for t in sd.leaves.cps_b),
+            ncs_b=tuple(t[d] for t in sd.leaves.ncs_b),
+            cps_c=tuple(t[d] for t in sd.leaves.cps_c),
+            rloc_c=tuple(t[d] for t in sd.leaves.rloc_c),
+            sid_starts_c=tuple(t[d] for t in sd.leaves.sid_starts_c),
+            rows_pad=sd.n_chunks * RSLICE, restore_hit=restore_hit,
+            restore_read_b=restore_read_b,
+            n_reads=int(sd.bounds[d + 1] - sd.bounds[d]), M=sd.M, n0=sd.n0,
+        )
+        f, fn_ = jax.jit(lambda t: fast_final_fracs(t, data))(theta)
+        frac[sd.hit_bounds[d]:sd.hit_bounds[d + 1]] = np.asarray(
+            f, dtype=np.float64)[: data.restore_hit.shape[0]]
+        frac_noise[sd.bounds[d]:sd.bounds[d + 1]] = np.asarray(
+            fn_, dtype=np.float64)[: data.n_reads]
+    return frac, frac_noise

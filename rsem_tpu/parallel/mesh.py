@@ -53,14 +53,13 @@ def shard_bundle_by_read(
 
     rid within each shard is rebased to the shard-local read index.
     """
+    from .fast_sharded import partition_reads_by_hits
+
     hits = bundle.hits
     n_reads = hits.n_reads
     offsets = hits.read_offsets
-    total_hits = hits.n_hits
     # balanced contiguous split by cumulative hit count
-    targets = (np.arange(1, n_dev) * total_hits) // n_dev
-    cuts = np.searchsorted(offsets[1:], targets, side="left") + 1
-    bounds = np.concatenate([[0], cuts, [n_reads]])
+    bounds = partition_reads_by_hits(offsets, n_dev)
     n_dev_reads = int(np.diff(bounds).max())
     n_dev_reads = max(n_dev_reads, 1)
     h_dev = max(
@@ -137,6 +136,43 @@ def place_sharded(mesh: Mesh, data: ShardedData) -> ShardedData:
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(put, data, is_leaf=lambda x: x is None)
+
+
+def make_sharded_conprb(mesh: Mesh, kcfg: KernelConfig):
+    """Jitted per-hit log-likelihood over the mesh: reads/hits sharded,
+    reference + model replicated. Returns [D*H_dev] / [D*N_dev] stacked
+    outputs (unpad per shard with the read/hit bounds)."""
+    dp = P("dp")
+    rep = P()
+
+    def local(refd, m1, m2, hd, dev_model):
+        squeeze = lambda tree: jax.tree.map(
+            lambda x: None if x is None else x[0], tree,
+            is_leaf=lambda x: x is None,
+        )
+        m1 = squeeze(m1)
+        m2 = squeeze(m2) if m2 is not None else None
+        hd = squeeze(hd)
+        lcp = compute_log_conprb(kcfg, refd, m1, m2, hd, dev_model)
+        lnp = compute_log_noise_conprb(kcfg, m1, m2, dev_model)
+        return lcp[None], lnp[None]
+
+    def specs_for(tree, spec):
+        return jax.tree.map(lambda _: spec, tree, is_leaf=lambda x: x is None)
+
+    def build(refd_tree, m1_tree, m2_tree, hd_tree, model_tree):
+        in_specs = (
+            specs_for(refd_tree, rep),
+            specs_for(m1_tree, dp),
+            specs_for(m2_tree, dp),
+            specs_for(hd_tree, dp),
+            specs_for(model_tree, rep),
+        )
+        fn = shard_map(local, mesh=mesh, in_specs=in_specs,
+                       out_specs=(dp, dp), check_vma=False)
+        return jax.jit(fn)
+
+    return build
 
 
 def make_sharded_round(

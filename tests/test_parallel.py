@@ -80,6 +80,78 @@ def test_sharded_round_matches_single(setup):
     assert float(suff1["pro"].sum()) == pytest.approx(bundle.cnt.N1 * 30, rel=0.05)
 
 
+def test_sharded_fast_loop_matches_single_device():
+    """The read-sharded theta-only while_loop (psum-merged) reproduces the
+    single-device fast loop bit-for-bit in round count and to 1e-5 in theta
+    (the per-shard partial sums change only float association)."""
+    import jax.numpy as jnp
+
+    from rsem_tpu.ops.fast_estep import (
+        build_fast_data,
+        fast_final_fracs,
+        run_fast_em_loop,
+    )
+    from rsem_tpu.parallel.fast_sharded import (
+        build_fast_data_sharded,
+        fast_final_fracs_sharded,
+        place_fast_sharded,
+        run_fast_em_loop_sharded,
+    )
+    from rsem_tpu.testing import synthetic_arrays_fast
+
+    ref, bundle, spec, model = synthetic_arrays_fast(
+        n_reads=4000, M=300, read_len=40, tx_len=400, paired=False,
+        has_qual=True, mean_extra_hits=2.0, seed=7,
+    )
+    M = ref.M
+    rng = np.random.default_rng(0)
+    # synthetic but realistic spread of log conprbs
+    lcp = rng.normal(-55.0, 3.0, bundle.hits.n_hits)
+    lnp = rng.normal(-70.0, 2.0, bundle.hits.n_reads)
+    n0 = 37.0
+
+    theta0 = np.full(M + 1, 1.0 / (M + 1), dtype=np.float32)
+
+    fdata = build_fast_data(bundle.hits, lcp, lnp, M, n0)
+    t1, c1, r1 = jax.jit(lambda t: run_fast_em_loop(t, fdata))(
+        jnp.asarray(theta0))
+    f1, fn1 = jax.jit(lambda t: fast_final_fracs(t, fdata))(t1)
+    f1 = np.asarray(f1)[: bundle.hits.n_hits]
+    fn1 = np.asarray(fn1)[: bundle.hits.n_reads]
+
+    mesh = make_mesh(8)
+    sd = place_fast_sharded(
+        mesh, build_fast_data_sharded(bundle.hits, lcp, lnp, M, n0, 8)
+    )
+    t8, c8, r8 = run_fast_em_loop_sharded(jnp.asarray(theta0), sd, mesh)
+
+    assert int(r8) == int(r1)
+    np.testing.assert_allclose(np.asarray(t8), np.asarray(t1),
+                               rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(c8), np.asarray(c1),
+                               rtol=1e-4, atol=1e-6)
+
+    f8, fn8 = fast_final_fracs_sharded(t8, sd)
+    np.testing.assert_allclose(f8, f1, rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(fn8, fn1, rtol=1e-4, atol=1e-7)
+
+
+def test_run_em_uses_sharded_loop(setup):
+    """run_em on the 8-device CPU mesh (auto-sharded fast loop) matches the
+    reference-convergent results of the explicitly single-shard build."""
+    ref, bundle = setup
+    spec = ModelSpec(model_type=1, seed_len=25)
+    model = GenerativeModel(spec, ref)
+    model.estimate_from_stats(bundle.stats)
+    res = run_em(model, ref, bundle, EMConfig(backend="device"))
+    # ground truth: reads were drawn 50/100/50 from t1/t2/t3
+    assert np.isfinite(res.theta).all()
+    assert res.counts[2] == pytest.approx(100, rel=0.15)
+    assert res.counts.sum() == pytest.approx(
+        bundle.cnt.N0 + bundle.cnt.N1, rel=1e-4
+    )
+
+
 def test_full_sharded_em_counts(setup):
     """Iterating the sharded round converges to the same counts."""
     ref, bundle = setup

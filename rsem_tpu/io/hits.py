@@ -73,24 +73,28 @@ class HitArrays:
         return np.diff(self.read_offsets)
 
     # --- statistics (reference: HitContainer.h:96-116) ---------------------
+    def _n_multi_key_reads(self, key: np.ndarray) -> int:
+        """# reads whose hits span >1 distinct value of key[h] (vectorized:
+        sort hits by (read, key), count per-read distinct runs)."""
+        n = self.n_reads
+        if n == 0 or self.n_hits == 0:
+            return 0
+        order = np.lexsort((key, self.rid))
+        rid_s = self.rid[order]
+        key_s = key[order]
+        new_run = np.empty(len(order), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (rid_s[1:] != rid_s[:-1]) | (key_s[1:] != key_s[:-1])
+        distinct = np.bincount(rid_s, weights=new_run, minlength=n)
+        return int((distinct > 1).sum())
+
     def n_gene_multi_reads(self, sid2gid: np.ndarray) -> int:
         """# reads whose hits span >1 gene."""
-        gids = sid2gid[self.sid]
-        return int(
-            sum(
-                len(np.unique(gids[s:e])) > 1
-                for s, e in zip(self.read_offsets[:-1], self.read_offsets[1:])
-            )
-        )
+        return self._n_multi_key_reads(sid2gid[self.sid])
 
     def n_isoform_multi_reads(self) -> int:
         """# reads with >1 distinct isoform among hits."""
-        return int(
-            sum(
-                len(np.unique(self.sid[s:e])) > 1
-                for s, e in zip(self.read_offsets[:-1], self.read_offsets[1:])
-            )
-        )
+        return self._n_multi_key_reads(self.sid)
 
     # --- .dat interop ------------------------------------------------------
     def write_dat(self, path: str, read_type: int):

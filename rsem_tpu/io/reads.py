@@ -155,20 +155,34 @@ class ReadStats:
         codes = np.asarray(codes)[keep]
         self.n_reads += len(lens)
         self._grow(int(lens.max()))
-        np.add.at(self.len_counts, lens, 1.0)
+        self.len_counts[: lens.max() + 1] += np.bincount(
+            lens, minlength=int(lens.max()) + 1
+        )
 
         j = np.arange(codes.shape[1])[None, :]
         valid = j < lens[:, None]
         if quals is not None:
             quals = np.asarray(quals)[keep]
-            np.add.at(self.q_init, quals[:, 0], 1.0)
-            prev = quals[:, :-1][valid[:, 1:]]
-            nxt = quals[:, 1:][valid[:, 1:]]
-            np.add.at(self.q_tran, (prev, nxt), 1.0)
+            self.q_init += np.bincount(quals[:, 0], minlength=QSIZE)
+            vmask = valid[:, 1:].ravel()
+            pair = (
+                quals[:, :-1].ravel().astype(np.int64) * QSIZE
+                + quals[:, 1:].ravel()
+            )
+            self.q_tran += np.bincount(
+                pair, weights=vmask, minlength=QSIZE * QSIZE
+            ).reshape(QSIZE, QSIZE)
             if collect_noise:
-                np.add.at(self.noise, (quals[valid], codes[valid]), 1.0)
+                key = (
+                    quals.ravel().astype(np.int64) * NCODES + codes.ravel()
+                )
+                self.noise += np.bincount(
+                    key, weights=valid.ravel(), minlength=QSIZE * NCODES
+                ).reshape(QSIZE, NCODES)
         elif collect_noise:
-            np.add.at(self.noise[0], codes[valid], 1.0)
+            self.noise[0] += np.bincount(
+                codes[valid], minlength=NCODES
+            )[:NCODES]
 
     def merge(self, other: "ReadStats"):
         self._grow(len(other.len_counts) - 1)

@@ -323,6 +323,102 @@ def _check_cigar(rec: SamRecord) -> bool:
     )
 
 
+def _padded_from_flat(flat: np.ndarray, lens: np.ndarray, L: int) -> np.ndarray:
+    """[sum(lens)] flat payload -> [N, L] zero-padded matrix (vectorized)."""
+    n = len(lens)
+    mat = np.zeros((n, L), dtype=np.uint8)
+    mask = np.arange(L)[None, :] < lens[:, None]
+    mat[mask] = flat
+    return mat
+
+
+def _assemble_native(
+    res,
+    read_type: int,
+    has_polya: bool,
+    seed_len: int,
+    omit: np.ndarray,
+) -> AlignmentBundle:
+    """Build the AlignmentBundle from the native sidecar's flat arrays;
+    byte-identical to the Python record loop (tests/test_native_ingest.py)."""
+    from .reads import calc_low_quality
+
+    paired = read_type >= 2
+    has_qual = read_type in (1, 3)
+    stats = {i: ReadStats() for i in range(3)}
+
+    # unaligned categories -> streaming stats (batched)
+    for cat, c in ((0, res.cat0), (2, res.cat2)):
+        if c.n == 0:
+            continue
+        L1 = int(c.len1.max()) if c.n else 1
+        codes1 = _padded_from_flat(c.seq1, c.len1, L1)
+        q1 = _padded_from_flat(c.qual1, c.len1, L1) if has_qual else None
+        lq1 = calc_low_quality(codes1, c.len1, has_polya, seed_len)
+        if paired:
+            L2 = int(c.len2.max()) if c.n else 1
+            codes2 = _padded_from_flat(c.seq2, c.len2, L2)
+            q2 = _padded_from_flat(c.qual2, c.len2, L2) if has_qual else None
+            lq2 = calc_low_quality(codes2, c.len2, has_polya, seed_len)
+            lq = (lq1 & lq2) | (c.len1 < seed_len) | (c.len2 < seed_len)
+            stats[cat].add_reads(codes1, c.len1, q1, lq, cat == 0)
+            stats[cat].add_reads(codes2, c.len2, q2, lq, cat == 0)
+        else:
+            stats[cat].add_reads(codes1, c.len1, q1, lq1, cat == 0)
+
+    # N1 reads
+    n1 = res.n1
+    L1 = int(res.len1.max()) if n1 else 1
+    codes1 = _padded_from_flat(res.seq1, res.len1, L1)
+    quals1 = _padded_from_flat(res.qual1, res.len1, L1) if has_qual else None
+    lens1 = res.len1.astype(np.int32)
+    lq1 = calc_low_quality(codes1, lens1, has_polya, seed_len)
+    m1 = ReadArrays(codes1, lens1, quals1, lq1)
+    if paired:
+        L2 = int(res.len2.max()) if n1 else 1
+        codes2 = _padded_from_flat(res.seq2, res.len2, L2)
+        quals2 = _padded_from_flat(res.qual2, res.len2, L2) if has_qual else None
+        lens2 = res.len2.astype(np.int32)
+        lq2 = calc_low_quality(codes2, lens2, has_polya, seed_len)
+        m2 = ReadArrays(codes2, lens2, quals2, lq2)
+        reads = PairedReadArrays.build(m1, m2, seed_len)
+        stats[1].add_reads(m1.codes, m1.lens, m1.quals, reads.lq, False)
+        stats[1].add_reads(m2.codes, m2.lens, m2.quals, reads.lq, False)
+    else:
+        reads = m1
+        stats[1].add_reads(m1.codes, m1.lens, m1.quals, m1.lq, False)
+
+    # hits CSR
+    nh = res.nh.astype(np.int64)
+    offsets = np.zeros(n1 + 1, dtype=np.int64)
+    np.cumsum(nh, out=offsets[1:])
+    rid = np.repeat(np.arange(n1, dtype=np.int32), nh)
+    ssid = res.sid
+    hits = HitArrays(
+        rid=rid,
+        sid=np.abs(ssid).astype(np.int32),
+        dir=(ssid < 0).astype(np.int8),
+        pos=res.pos.astype(np.int32),
+        insert_len=res.ins.astype(np.int32) if paired else None,
+        read_offsets=offsets,
+    )
+
+    vals, freqs = np.unique(nh, return_counts=True)
+    hist = {int(v): int(f) for v, f in zip(vals, freqs)}
+    cnt = CntStats(
+        N0=res.cat0.n,
+        N1=n1,
+        N2=res.cat2.n,
+        n_unique=0,
+        n_multi=0,
+        n_iso_multi=hits.n_isoform_multi_reads(),
+        n_hits=hits.n_hits,
+        read_type=read_type,
+        hist=hist,
+    )
+    return AlignmentBundle(read_type, reads, hits, stats, cnt, omit)
+
+
 def parse_alignments(
     path: str,
     transcript_names: Sequence[str],
@@ -330,12 +426,17 @@ def parse_alignments(
     has_polya: bool,
     seed_len: int,
     filter_tag: str = "XM",
+    use_native: bool = True,
 ) -> AlignmentBundle:
     """Parse a SAM/BAM of transcript alignments (reference: parseIt.cpp).
 
     transcript_names: internal sid order (index 0 unused); names are
     transcript_ids, or seqnames in allele-specific mode
     (Transcripts.h:105-143).
+
+    For BAM inputs the hot record loop runs in the native C++ sidecar
+    (native/bamparse.cpp) when available; SAM text (and use_native=False)
+    uses the pure-Python loop below, which is also the parity oracle.
     """
     paired = read_type >= 2
     has_qual = read_type in (1, 3)
@@ -368,6 +469,16 @@ def parse_alignments(
         appeared[sid] = True
     omit = np.flatnonzero(~appeared[1:]) + 1
     target_lens = np.asarray(reader.target_lens, dtype=np.int64)
+
+    if use_native and isinstance(reader, BamReader):
+        from ..native.bamparse import parse_bam_native
+
+        res = parse_bam_native(
+            path, paired, has_qual, e2i, target_lens, filter_tag
+        )
+        if res is not None:
+            reader.close()
+            return _assemble_native(res, read_type, has_polya, seed_len, omit)
 
     stats = {i: ReadStats() for i in range(3)}
     Ncat = [0, 0, 0]

@@ -1,0 +1,709 @@
+// Native BAM ingestion sidecar: BGZF-compressed BAM -> flat read/hit arrays.
+//
+// Replaces the per-record Python decode loop in rsem_tpu/io/sam.py for BAM
+// inputs (the reference streams records through htslib in parseIt.cpp:90-152
+// and SamParser.h; this is an independent minimal BGZF+BAM codec tuned for
+// bulk ingestion: parallel block inflate into one contiguous buffer, then a
+// single pointer-walk over records).
+//
+// Semantics mirror rsem_tpu.io.sam.parse_alignments exactly (grouping by
+// canonical read name, N0/N1/N2 classification via the aligner filter tag,
+// strand-local coordinate flip, single-M cigar validation, mate adjacency
+// checks); the Python path remains as the oracle and SAM-text fallback.
+//
+// C ABI (ctypes): bamparse_run() does the whole parse; the caller then reads
+// sizes via bamparse_sizes(), allocates numpy buffers, and copies the flat
+// arrays out with bamparse_export(). All outputs are flat (concatenated
+// sequences + per-read lengths); padding into [N, L] matrices happens
+// vectorized on the Python side.
+
+#include <array>
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+constexpr int FLAG_PAIRED = 0x1;
+constexpr int FLAG_UNMAPPED = 0x4;
+constexpr int FLAG_REVERSE = 0x10;
+constexpr int FLAG_READ1 = 0x40;
+constexpr int FLAG_READ2 = 0x80;
+
+// BAM 4-bit nibble -> base code (A C G T N; -1 = ambiguity code)
+const int8_t NIB2ID[16] = {-1, 0, 1, -1, 2, -1, -1, -1,
+                           3, -1, -1, -1, -1, -1, -1, 4};
+
+struct CatArrays {
+  // one unaligned category (N0 or N2); flat oriented payloads
+  std::vector<uint8_t> seq1, qual1, seq2, qual2;
+  std::vector<int32_t> len1, len2;
+  int64_t n = 0;
+};
+
+struct Parser {
+  // config
+  bool paired = false, has_qual = false;
+  std::vector<int32_t> e2i;        // [n_targets] external tid -> internal sid
+  std::vector<int64_t> target_len; // [n_targets]
+  char ftag[2] = {0, 0};
+  bool has_ftag = false;
+
+  // outputs
+  std::vector<uint8_t> seq1, qual1, seq2, qual2; // N1 flat payloads
+  std::vector<int32_t> len1, len2;               // N1 read lengths
+  std::vector<int32_t> nh;                       // hits per N1 read
+  std::vector<int32_t> hit_sid;                  // signed (sign = strand)
+  std::vector<int32_t> hit_pos;                  // strand-local 0-based
+  std::vector<int32_t> hit_ins;                  // fragment length (paired)
+  CatArrays cat0, cat2;
+
+  std::string err;
+};
+
+struct RawRecord {
+  const uint8_t *p; // start of the fixed 32-byte core
+  int32_t block_size;
+  int32_t tid, pos, l_seq, flag, n_cigar, l_read_name;
+  const uint8_t *name;  // NUL-terminated
+  const uint8_t *cigar; // n_cigar uint32
+  const uint8_t *seq;   // (l_seq+1)/2 packed nibbles
+  const uint8_t *qual;  // l_seq bytes
+  const uint8_t *tags;  // to p + block_size
+};
+
+inline int32_t rd_i32(const uint8_t *p) {
+  int32_t v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+inline uint32_t rd_u32(const uint8_t *p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+inline uint16_t rd_u16(const uint8_t *p) {
+  uint16_t v;
+  std::memcpy(&v, p, 2);
+  return v;
+}
+
+bool parse_record(const uint8_t *p, int32_t block_size, RawRecord *r,
+                  std::string *err) {
+  if (block_size < 32) {
+    *err = "truncated BAM record";
+    return false;
+  }
+  r->p = p;
+  r->block_size = block_size;
+  r->tid = rd_i32(p);
+  r->pos = rd_i32(p + 4);
+  r->l_read_name = p[8];
+  r->n_cigar = rd_u16(p + 12);
+  r->flag = rd_u16(p + 14);
+  r->l_seq = rd_i32(p + 16);
+  const uint8_t *q = p + 32;
+  r->name = q;
+  q += r->l_read_name;
+  r->cigar = q;
+  q += 4ll * r->n_cigar;
+  r->seq = q;
+  q += (r->l_seq + 1) / 2;
+  r->qual = q;
+  q += r->l_seq;
+  r->tags = q;
+  if (q > p + block_size) {
+    *err = "truncated BAM record body";
+    return false;
+  }
+  return true;
+}
+
+// integer value of a 2-char tag (0 if absent / non-integer)
+int64_t find_int_tag(const RawRecord &r, const char tag[2]) {
+  const uint8_t *q = r.tags;
+  const uint8_t *end = r.p + r.block_size;
+  while (q + 3 <= end) {
+    char t0 = (char)q[0], t1 = (char)q[1], typ = (char)q[2];
+    const uint8_t *v = q + 3;
+    int64_t val = 0;
+    int vlen = 0;
+    switch (typ) {
+    case 'c': val = (int8_t)v[0]; vlen = 1; break;
+    case 'C': val = v[0]; vlen = 1; break;
+    case 's': val = (int16_t)rd_u16(v); vlen = 2; break;
+    case 'S': val = rd_u16(v); vlen = 2; break;
+    case 'i': val = rd_i32(v); vlen = 4; break;
+    case 'I': val = (int64_t)rd_u32(v); vlen = 4; break;
+    case 'f': vlen = 4; break;
+    case 'A': vlen = 1; break;
+    case 'Z':
+    case 'H': {
+      const uint8_t *z = v;
+      while (z < end && *z) z++;
+      vlen = (int)(z - v) + 1;
+      break;
+    }
+    case 'B': {
+      char sub = (char)v[0];
+      int32_t n = rd_i32(v + 1);
+      int esz = (sub == 'c' || sub == 'C') ? 1
+                : (sub == 's' || sub == 'S') ? 2 : 4;
+      vlen = 5 + n * esz;
+      break;
+    }
+    default:
+      return 0; // unknown tag type: stop scanning (mirrors Python break)
+    }
+    if (t0 == tag[0] && t1 == tag[1]) {
+      if (typ == 'c' || typ == 'C' || typ == 's' || typ == 'S' ||
+          typ == 'i' || typ == 'I')
+        return val;
+      return 0;
+    }
+    q = v + vlen;
+  }
+  return 0;
+}
+
+// decode seq/qual in original read orientation (reverse-complement when the
+// reverse flag is set; reference: sam_utils.h bam_get_read_seq)
+bool decode_oriented(const RawRecord &r, bool want_qual,
+                     std::vector<uint8_t> *seq_out,
+                     std::vector<uint8_t> *qual_out, std::string *err) {
+  int l = r.l_seq;
+  bool rev = (r.flag & FLAG_REVERSE) != 0;
+  size_t base = seq_out->size();
+  seq_out->resize(base + l);
+  uint8_t *s = seq_out->data() + base;
+  for (int i = 0; i < l; i++) {
+    int nib = (i & 1) ? (r.seq[i >> 1] & 0xF) : (r.seq[i >> 1] >> 4);
+    int8_t c = NIB2ID[nib];
+    if (c < 0) {
+      *err = "Found ambiguity code in BAM SEQ field";
+      return false;
+    }
+    if (rev) {
+      uint8_t cc = (c < 4) ? (uint8_t)(3 - c) : (uint8_t)c;
+      s[l - 1 - i] = cc;
+    } else {
+      s[i] = (uint8_t)c;
+    }
+  }
+  if (want_qual) {
+    if (l > 0 && r.qual[0] == 0xFF) {
+      *err = "expected quality scores but the BAM record has none";
+      return false;
+    }
+    size_t qb = qual_out->size();
+    qual_out->resize(qb + l);
+    uint8_t *qd = qual_out->data() + qb;
+    if (rev)
+      for (int i = 0; i < l; i++) qd[l - 1 - i] = r.qual[i];
+    else
+      std::memcpy(qd, r.qual, l);
+  }
+  return true;
+}
+
+// exactly one M/=/X op spanning the read (reference: bam_check_cigar)
+bool check_cigar(const RawRecord &r) {
+  if (r.n_cigar != 1) return false;
+  uint32_t v = rd_u32(r.cigar);
+  int op = v & 0xF; // 0=M 7='=' 8=X
+  if (!(op == 0 || op == 7 || op == 8)) return false;
+  return (int32_t)(v >> 4) == r.l_seq;
+}
+
+size_t canonical_len(const uint8_t *name) {
+  size_t i = 0;
+  for (; name[i]; i++) {
+    char c = (char)name[i];
+    if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\v' ||
+        c == '\f')
+      break;
+  }
+  return i;
+}
+
+// ---------------------------------------------------------------------------
+// BGZF: scan block extents, then inflate all blocks in parallel into one
+// contiguous buffer (output offsets are exact: each member trailer carries
+// ISIZE).
+struct BgzfBlock {
+  size_t in_off;   // offset of deflate payload in file buffer
+  size_t in_len;   // payload length
+  size_t out_off;  // offset in decompressed buffer
+  size_t out_len;  // ISIZE
+};
+
+bool scan_bgzf(const std::vector<uint8_t> &buf, std::vector<BgzfBlock> *blocks,
+               size_t *total_out, std::string *err) {
+  size_t off = 0, out = 0;
+  const size_t n = buf.size();
+  while (off < n) {
+    if (off + 18 > n) {
+      *err = "truncated BGZF header";
+      return false;
+    }
+    const uint8_t *h = buf.data() + off;
+    if (!(h[0] == 0x1f && h[1] == 0x8b && h[2] == 8)) {
+      *err = "not a BGZF/gzip stream";
+      return false;
+    }
+    uint8_t flg = h[3];
+    size_t p = off + 10;
+    size_t bsize = 0;
+    if (flg & 4) { // FEXTRA
+      uint16_t xlen = rd_u16(buf.data() + p);
+      size_t xend = p + 2 + xlen;
+      p += 2;
+      while (p + 4 <= xend) {
+        uint8_t si1 = buf[p], si2 = buf[p + 1];
+        uint16_t slen = rd_u16(buf.data() + p + 2);
+        if (si1 == 'B' && si2 == 'C' && slen == 2)
+          bsize = (size_t)rd_u16(buf.data() + p + 4) + 1;
+        p += 4 + slen;
+      }
+      p = xend;
+    }
+    if (bsize == 0) {
+      // not a BGZF member (plain gzip): bail to slow path
+      *err = "gzip member without BC subfield (not BGZF)";
+      return false;
+    }
+    if (flg & 8) { // FNAME
+      while (p < n && buf[p]) p++;
+      p++;
+    }
+    if (flg & 16) { // FCOMMENT
+      while (p < n && buf[p]) p++;
+      p++;
+    }
+    if (flg & 2) p += 2; // FHCRC
+    size_t member_end = off + bsize;
+    if (member_end > n || p + 8 > member_end) {
+      *err = "truncated BGZF block";
+      return false;
+    }
+    uint32_t isize = rd_u32(buf.data() + member_end - 4);
+    BgzfBlock b;
+    b.in_off = p;
+    b.in_len = member_end - 8 - p;
+    b.out_off = out;
+    b.out_len = isize;
+    if (isize) blocks->push_back(b);
+    out += isize;
+    off = member_end;
+  }
+  *total_out = out;
+  return true;
+}
+
+bool inflate_blocks(const std::vector<uint8_t> &in,
+                    const std::vector<BgzfBlock> &blocks, uint8_t *out,
+                    int n_threads, std::string *err) {
+  std::atomic<size_t> next(0);
+  std::atomic<bool> ok(true);
+  auto worker = [&]() {
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, -15) != Z_OK) {
+      ok = false;
+      return;
+    }
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= blocks.size() || !ok.load(std::memory_order_relaxed)) break;
+      const BgzfBlock &b = blocks[i];
+      inflateReset(&zs);
+      zs.next_in = const_cast<Bytef *>(in.data() + b.in_off);
+      zs.avail_in = (uInt)b.in_len;
+      zs.next_out = out + b.out_off;
+      zs.avail_out = (uInt)b.out_len;
+      int rc = inflate(&zs, Z_FINISH);
+      if (rc != Z_STREAM_END || zs.avail_out != 0) ok = false;
+    }
+    inflateEnd(&zs);
+  };
+  std::vector<std::thread> ts;
+  int nt = n_threads < 1 ? 1 : n_threads;
+  for (int t = 0; t < nt; t++) ts.emplace_back(worker);
+  for (auto &t : ts) t.join();
+  if (!ok) {
+    *err = "BGZF inflate failed";
+    return false;
+  }
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// grouped parse (mirrors rsem_tpu.io.sam.parse_alignments)
+
+struct GroupState {
+  std::string name;
+  int val = -2;
+  // pending payload (oriented); promoted to the right bucket at flush
+  std::vector<uint8_t> s1, q1, s2, q2;
+  std::vector<std::array<int32_t, 3>> hits;
+};
+
+class Walker {
+public:
+  Parser *P;
+  GroupState cur;
+
+  bool flush() {
+    if (cur.val < 0) return true;
+    if (cur.val == 1) {
+      P->len1.push_back((int32_t)cur.s1.size());
+      P->seq1.insert(P->seq1.end(), cur.s1.begin(), cur.s1.end());
+      if (P->has_qual)
+        P->qual1.insert(P->qual1.end(), cur.q1.begin(), cur.q1.end());
+      if (P->paired) {
+        P->len2.push_back((int32_t)cur.s2.size());
+        P->seq2.insert(P->seq2.end(), cur.s2.begin(), cur.s2.end());
+        if (P->has_qual)
+          P->qual2.insert(P->qual2.end(), cur.q2.begin(), cur.q2.end());
+      }
+      P->nh.push_back((int32_t)cur.hits.size());
+      for (auto &h : cur.hits) {
+        P->hit_sid.push_back(h[0]);
+        P->hit_pos.push_back(h[1]);
+        if (P->paired) P->hit_ins.push_back(h[2]);
+      }
+    } else {
+      CatArrays &c = (cur.val == 0) ? P->cat0 : P->cat2;
+      c.n++;
+      c.len1.push_back((int32_t)cur.s1.size());
+      c.seq1.insert(c.seq1.end(), cur.s1.begin(), cur.s1.end());
+      if (P->has_qual) c.qual1.insert(c.qual1.end(), cur.q1.begin(), cur.q1.end());
+      if (P->paired) {
+        c.len2.push_back((int32_t)cur.s2.size());
+        c.seq2.insert(c.seq2.end(), cur.s2.begin(), cur.s2.end());
+        if (P->has_qual)
+          c.qual2.insert(c.qual2.end(), cur.q2.begin(), cur.q2.end());
+      }
+    }
+    cur.val = -2;
+    cur.hits.clear();
+    return true;
+  }
+
+  int read_type_of(const RawRecord &r) {
+    if (!(r.flag & FLAG_UNMAPPED)) return 1;
+    if (P->has_ftag && find_int_tag(r, P->ftag) > 0) return 2;
+    return 0;
+  }
+
+  bool step_se(const RawRecord &r) {
+    if (r.flag & FLAG_PAIRED) {
+      P->err = "found a paired-end read";
+      return false;
+    }
+    int val = read_type_of(r);
+    size_t nl = canonical_len(r.name);
+    bool name_eq = cur.name.size() == nl &&
+                   std::memcmp(cur.name.data(), r.name, nl) == 0;
+    if (val == 1 && name_eq && cur.val >= 0 && cur.val != 1) {
+      P->err = "read " + std::string((const char *)r.name, nl) +
+               " is both unalignable and alignable according to the input "
+               "file";
+      return false;
+    }
+    bool same = (val == 1) && name_eq && cur.val == 1;
+    if (!same) {
+      flush();
+      cur.val = val;
+      cur.name.assign((const char *)r.name, nl);
+      cur.s1.clear();
+      cur.q1.clear();
+      if (!decode_oriented(r, P->has_qual, &cur.s1, &cur.q1, &P->err))
+        return false;
+    }
+    if (val == 1) {
+      if (r.tid < 0 || r.tid >= (int32_t)P->e2i.size()) {
+        P->err = "alignment target id out of range";
+        return false;
+      }
+      if (!check_cigar(r)) {
+        P->err = "RSEM does not support gapped alignments (read " +
+                 std::string((const char *)r.name, nl) + ")";
+        return false;
+      }
+      int32_t sid = P->e2i[r.tid];
+      int32_t l = r.l_seq;
+      if (r.flag & FLAG_REVERSE)
+        cur.hits.push_back({-sid, (int32_t)(P->target_len[r.tid] - r.pos - l), 0});
+      else
+        cur.hits.push_back({sid, r.pos, 0});
+    }
+    return true;
+  }
+
+  bool step_pe(RawRecord r1, RawRecord r2) {
+    if (!(r1.flag & FLAG_READ1)) std::swap(r1, r2);
+    if (!((r1.flag & FLAG_PAIRED) && (r2.flag & FLAG_PAIRED))) {
+      P->err = "one of the mates is not paired-end (mates must be adjacent)";
+      return false;
+    }
+    if (!((r1.flag & FLAG_READ1) && (r2.flag & FLAG_READ2))) {
+      P->err = "adjacent records are not the two mates of a paired-end read";
+      return false;
+    }
+    bool m1 = !(r1.flag & FLAG_UNMAPPED), m2 = !(r2.flag & FLAG_UNMAPPED);
+    if (m1 != m2) {
+      P->err = "RSEM does not support partial alignments";
+      return false;
+    }
+    int val;
+    if (m1 && m2) {
+      val = 1;
+    } else if (P->has_ftag && (find_int_tag(r1, P->ftag) > 0 ||
+                               find_int_tag(r2, P->ftag) > 0)) {
+      val = 2;
+    } else {
+      val = 0;
+    }
+    size_t nl = canonical_len(r1.name);
+    bool name_eq = cur.name.size() == nl &&
+                   std::memcmp(cur.name.data(), r1.name, nl) == 0;
+    if (val == 1 && name_eq && cur.val >= 0 && cur.val != 1) {
+      P->err = "read " + std::string((const char *)r1.name, nl) +
+               " is both unalignable and alignable according to the input "
+               "file";
+      return false;
+    }
+    bool same = (val == 1) && cur.val == 1 && name_eq;
+    if (!same) {
+      flush();
+      cur.val = val;
+      cur.name.assign((const char *)r1.name, nl);
+      cur.s1.clear();
+      cur.q1.clear();
+      cur.s2.clear();
+      cur.q2.clear();
+      if (!decode_oriented(r1, P->has_qual, &cur.s1, &cur.q1, &P->err))
+        return false;
+      if (!decode_oriented(r2, P->has_qual, &cur.s2, &cur.q2, &P->err))
+        return false;
+    }
+    if (val == 1) {
+      if (r1.tid < 0 || r1.tid >= (int32_t)P->e2i.size()) {
+        P->err = "alignment target id out of range";
+        return false;
+      }
+      if (!(check_cigar(r1) && check_cigar(r2))) {
+        P->err = "RSEM does not support gapped alignments (read " +
+                 std::string((const char *)r1.name, nl) + ")";
+        return false;
+      }
+      if (r1.tid != r2.tid) {
+        P->err = "the two mates align to different transcripts "
+                 "(discordant alignment)";
+        return false;
+      }
+      int32_t sid = P->e2i[r1.tid];
+      int32_t l1 = r1.l_seq, l2 = r2.l_seq;
+      if (r1.flag & FLAG_REVERSE)
+        cur.hits.push_back({-sid,
+                            (int32_t)(P->target_len[r1.tid] - r1.pos - l1),
+                            r1.pos + l1 - r2.pos});
+      else
+        cur.hits.push_back({sid, r1.pos, r2.pos + l2 - r1.pos});
+    }
+    return true;
+  }
+};
+
+struct Handle {
+  Parser P;
+};
+
+} // namespace
+
+extern "C" {
+
+// returns opaque handle (caller must bamparse_free) or NULL; errbuf gets the
+// message on failure
+void *bamparse_run(const char *path, int paired, int has_qual,
+                   const int32_t *e2i, const int64_t *target_lens,
+                   int n_targets, const char *filter_tag, int n_threads,
+                   char *errbuf, int errbuf_len) {
+  auto fail = [&](const std::string &msg) -> void * {
+    std::snprintf(errbuf, errbuf_len, "%s", msg.c_str());
+    return nullptr;
+  };
+  FILE *f = std::fopen(path, "rb");
+  if (!f) return fail("cannot open file");
+  std::fseek(f, 0, SEEK_END);
+  long fsize = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf(fsize);
+  if (fsize && std::fread(buf.data(), 1, fsize, f) != (size_t)fsize) {
+    std::fclose(f);
+    return fail("short read");
+  }
+  std::fclose(f);
+
+  std::string err;
+  std::vector<BgzfBlock> blocks;
+  size_t total_out = 0;
+  if (!scan_bgzf(buf, &blocks, &total_out, &err)) return fail(err);
+  std::vector<uint8_t> out(total_out);
+  if (!inflate_blocks(buf, blocks, out.data(), n_threads, &err))
+    return fail(err);
+  buf.clear();
+  buf.shrink_to_fit();
+
+  // header: magic, l_text, text, n_ref, per-ref name+len
+  const uint8_t *p = out.data();
+  const uint8_t *end = p + out.size();
+  if (out.size() < 12 || std::memcmp(p, "BAM\x01", 4) != 0)
+    return fail("not a BAM file");
+  int32_t l_text = rd_i32(p + 4);
+  p += 8 + l_text;
+  if (p + 4 > end) return fail("truncated BAM header");
+  int32_t n_ref = rd_i32(p);
+  p += 4;
+  if (n_ref != n_targets) return fail("header target count mismatch");
+  for (int i = 0; i < n_ref; i++) {
+    if (p + 4 > end) return fail("truncated BAM header refs");
+    int32_t l_name = rd_i32(p);
+    p += 4 + l_name + 4;
+  }
+  if (p > end) return fail("truncated BAM header refs");
+
+  Handle *h = new Handle();
+  Parser &P = h->P;
+  P.paired = paired != 0;
+  P.has_qual = has_qual != 0;
+  P.e2i.assign(e2i, e2i + n_targets);
+  P.target_len.assign(target_lens, target_lens + n_targets);
+  if (filter_tag && filter_tag[0] && filter_tag[1]) {
+    P.ftag[0] = filter_tag[0];
+    P.ftag[1] = filter_tag[1];
+    P.has_ftag = true;
+  }
+  // reserve from a crude estimate to avoid repeated growth
+  size_t est_records = out.size() / 96 + 16;
+  P.nh.reserve(est_records);
+  P.hit_sid.reserve(est_records);
+  P.hit_pos.reserve(est_records);
+
+  Walker w;
+  w.P = &P;
+  bool pending = false;
+  RawRecord r1;
+  while (p < end) {
+    if (p + 4 > end) {
+      delete h;
+      return fail("truncated record length");
+    }
+    int32_t bs = rd_i32(p);
+    p += 4;
+    if (p + bs > end) {
+      delete h;
+      return fail("truncated record");
+    }
+    RawRecord r;
+    if (!parse_record(p, bs, &r, &P.err)) {
+      std::string e = P.err;
+      delete h;
+      return fail(e);
+    }
+    p += bs;
+    if (P.paired) {
+      if (!pending) {
+        r1 = r;
+        pending = true;
+      } else {
+        pending = false;
+        if (!w.step_pe(r1, r)) {
+          std::string e = P.err;
+          delete h;
+          return fail(e);
+        }
+      }
+    } else {
+      if (!w.step_se(r)) {
+        std::string e = P.err;
+        delete h;
+        return fail(e);
+      }
+    }
+  }
+  if (pending) {
+    delete h;
+    return fail("paired-end file has an odd number of records");
+  }
+  w.flush();
+  return h;
+}
+
+// sizes layout (int64[18]):
+//  0: N1            1: n_hits        2: seq1_total    3: seq2_total
+//  4: cat0.n        5: cat0 seq1 tot 6: cat0 seq2 tot
+//  7: cat2.n        8: cat2 seq1 tot 9: cat2 seq2 tot
+// 10..17: reserved 0
+void bamparse_sizes(void *vh, int64_t *sizes) {
+  Parser &P = ((Handle *)vh)->P;
+  sizes[0] = (int64_t)P.len1.size();
+  sizes[1] = (int64_t)P.hit_sid.size();
+  sizes[2] = (int64_t)P.seq1.size();
+  sizes[3] = (int64_t)P.seq2.size();
+  sizes[4] = P.cat0.n;
+  sizes[5] = (int64_t)P.cat0.seq1.size();
+  sizes[6] = (int64_t)P.cat0.seq2.size();
+  sizes[7] = P.cat2.n;
+  sizes[8] = (int64_t)P.cat2.seq1.size();
+  sizes[9] = (int64_t)P.cat2.seq2.size();
+  for (int i = 10; i < 18; i++) sizes[i] = 0;
+}
+
+static void copy32(const std::vector<int32_t> &v, int32_t *dst) {
+  if (!v.empty() && dst) std::memcpy(dst, v.data(), v.size() * 4);
+}
+static void copy8(const std::vector<uint8_t> &v, uint8_t *dst) {
+  if (!v.empty() && dst) std::memcpy(dst, v.data(), v.size());
+}
+
+void bamparse_export_n1(void *vh, uint8_t *seq1, uint8_t *qual1, int32_t *len1,
+                        uint8_t *seq2, uint8_t *qual2, int32_t *len2,
+                        int32_t *nh, int32_t *sid, int32_t *pos,
+                        int32_t *ins) {
+  Parser &P = ((Handle *)vh)->P;
+  copy8(P.seq1, seq1);
+  copy8(P.qual1, qual1);
+  copy32(P.len1, len1);
+  copy8(P.seq2, seq2);
+  copy8(P.qual2, qual2);
+  copy32(P.len2, len2);
+  copy32(P.nh, nh);
+  copy32(P.hit_sid, sid);
+  copy32(P.hit_pos, pos);
+  copy32(P.hit_ins, ins);
+}
+
+void bamparse_export_cat(void *vh, int cat, uint8_t *seq1, uint8_t *qual1,
+                         int32_t *len1, uint8_t *seq2, uint8_t *qual2,
+                         int32_t *len2) {
+  Parser &P = ((Handle *)vh)->P;
+  CatArrays &c = (cat == 0) ? P.cat0 : P.cat2;
+  copy8(c.seq1, seq1);
+  copy8(c.qual1, qual1);
+  copy32(c.len1, len1);
+  copy8(c.seq2, seq2);
+  copy8(c.qual2, qual2);
+  copy32(c.len2, len2);
+}
+
+void bamparse_free(void *vh) { delete (Handle *)vh; }
+
+} // extern "C"

@@ -197,14 +197,16 @@ def _round_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
 
     def g_body(t, g):
-        t = t.astype(jnp.int32) if t.dtype != jnp.int32 else t
         row = table_ref[pl.ds(t, 1), :]  # [1, 128]
         rowb = jnp.broadcast_to(row, (rows, 128))
         v = jnp.take_along_axis(rowb, lo, axis=1)
         return jnp.where(hi == t, v, g)
 
+    # int32 bounds on both ends: with x64 enabled a weak-int lower bound
+    # canonicalizes to int64, which Mosaic cannot lower
     g = jax.lax.fori_loop(
-        0, jnp.int32(t_rows), g_body, jnp.zeros((rows, 128), jnp.float32)
+        jnp.int32(0), jnp.int32(t_rows), g_body,
+        jnp.zeros((rows, 128), jnp.float32),
     )
     w = g * cpsv
 
@@ -255,6 +257,18 @@ def _round_kernel(
 
 def _bucket_call(sid2d, cps2d, ncs2d, table, th0, K: int, t_rows: int,
                  interpret: bool = False):
+    # Trace the kernel with x64 OFF: fast_estep enables x64 globally, which
+    # makes jnp.take_along_axis build int64 indices — Mosaic has no 64-bit
+    # types. Everything in the kernel is explicitly 32-bit anyway.
+    from jax.experimental import disable_x64
+
+    with disable_x64():
+        return _bucket_call_x32(sid2d, cps2d, ncs2d, table, th0, K, t_rows,
+                                interpret)
+
+
+def _bucket_call_x32(sid2d, cps2d, ncs2d, table, th0, K: int, t_rows: int,
+                     interpret: bool = False):
     X = sid2d.shape[0]
     rows = ROWS_BIGK if K > 128 else ROWS_SMALLK
     n_tiles = X // rows

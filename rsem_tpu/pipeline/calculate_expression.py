@@ -86,11 +86,20 @@ class ExpressionConfig:
     output_genome_bam: bool = False
     sort_bam_by_coordinate: bool = False
     sort_bam_by_read_name: bool = False
-    # pRSEM (rsem-calculate-expression:182-194,743-811)
+    # pRSEM (rsem-calculate-expression:115-126,182-194,743-811)
     run_prsem: bool = False
     chipseq_peak_file: str = ""
     partition_model: str = "pk"
     mappability_bedgraph_file: Optional[str] = None
+    chipseq_target_read_files: str = ""  # comma-separated per replicate
+    chipseq_control_read_files: str = ""
+    chipseq_read_files_multi_targets: str = ""
+    chipseq_bed_files_multi_targets: str = ""
+    cap_stacked_chipseq_reads: bool = False
+    n_max_stacked_chipseq_reads: int = 5
+    chipseq_target_signals: str = ""  # pooled tagAlign for signal models
+    chipseq_bowtie_index: str = ""  # genome bowtie index (default: ref name)
+    chipseq_bowtie_path: str = ""
     # misc
     append_names: bool = False
     tag: str = "XM"
@@ -373,9 +382,18 @@ def calculate_expression(
                 "--run-pRSEM requires --calc-pme (pRSEM learns its prior "
                 "from posterior mean counts)"
             )
-        if not cfg.chipseq_peak_file:
-            raise ValueError("--run-pRSEM requires --chipseq-peak-file")
+        if not (cfg.chipseq_peak_file or cfg.chipseq_target_read_files
+                or cfg.chipseq_read_files_multi_targets
+                or cfg.chipseq_bed_files_multi_targets):
+            raise ValueError(
+                "--run-pRSEM requires --chipseq-peak-file, "
+                "--chipseq-target-read-files (+ --chipseq-control-read-"
+                "files), or --chipseq-{read,bed}-files-multi-targets"
+            )
         from ..prsem import PrsemConfig, learn_prior
+
+        def _split(s):
+            return [x for x in s.split(":") if x] if s else []
 
         pres = learn_prior(
             ts,
@@ -384,9 +402,26 @@ def calculate_expression(
                 chipseq_peak_file=cfg.chipseq_peak_file,
                 partition_model=cfg.partition_model,
                 mappability_file=cfg.mappability_bedgraph_file,
+                chipseq_target_read_files=_split(
+                    cfg.chipseq_target_read_files),
+                chipseq_control_read_files=_split(
+                    cfg.chipseq_control_read_files),
+                chipseq_read_files_multi_targets=_split(
+                    cfg.chipseq_read_files_multi_targets),
+                chipseq_bed_files_multi_targets=_split(
+                    cfg.chipseq_bed_files_multi_targets),
+                cap_stacked_chipseq_reads=cfg.cap_stacked_chipseq_reads,
+                n_max_stacked_chipseq_reads=cfg.n_max_stacked_chipseq_reads,
+                chipseq_target_signals=cfg.chipseq_target_signals,
+                bowtie_index=cfg.chipseq_bowtie_index or reference_name,
+                bowtie_path=cfg.chipseq_bowtie_path,
+                temp_dir=os.path.dirname(imd) or ".",
             ),
             imd_name=imd,
             stat_name=stat,
+            ref=ref,
+            efflen=em.eel[1:],
+            pme_tpm=gres.pme_tpm[1:],
             log=(lambda *a: None) if cfg.quiet else print,
         )
         if pres.informative:
@@ -527,6 +562,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chipseq-peak-file", default="")
     p.add_argument("--partition-model", default="pk")
     p.add_argument("--mappability-bedgraph-file", default=None)
+    # ChIP-seq leg: colon-separated replicates, commas within a replicate
+    # (rsem-calculate-expression:116-126,183-192)
+    p.add_argument("--chipseq-target-read-files", default="")
+    p.add_argument("--chipseq-control-read-files", default="")
+    p.add_argument("--chipseq-read-files-multi-targets", default="")
+    p.add_argument("--chipseq-bed-files-multi-targets", default="")
+    p.add_argument("--cap-stacked-chipseq-reads", action="store_true")
+    p.add_argument("--n-max-stacked-chipseq-reads", type=int, default=5)
+    p.add_argument("--chipseq-target-signals", default="",
+                   help="pooled target tagAlign(.gz) for signal-based "
+                   "partition models when supplying --chipseq-peak-file")
+    p.add_argument("--chipseq-bowtie-index", default="")
+    p.add_argument("--chipseq-bowtie-path", default="")
     p.add_argument("--append-names", action="store_true")
     p.add_argument("--tag", default="XM")
     p.add_argument("--keep-intermediate-files", action="store_true")
@@ -595,6 +643,15 @@ def main(argv=None) -> int:
         chipseq_peak_file=args.chipseq_peak_file,
         partition_model=args.partition_model,
         mappability_bedgraph_file=args.mappability_bedgraph_file,
+        chipseq_target_read_files=args.chipseq_target_read_files,
+        chipseq_control_read_files=args.chipseq_control_read_files,
+        chipseq_read_files_multi_targets=args.chipseq_read_files_multi_targets,
+        chipseq_bed_files_multi_targets=args.chipseq_bed_files_multi_targets,
+        cap_stacked_chipseq_reads=args.cap_stacked_chipseq_reads,
+        n_max_stacked_chipseq_reads=args.n_max_stacked_chipseq_reads,
+        chipseq_target_signals=args.chipseq_target_signals,
+        chipseq_bowtie_index=args.chipseq_bowtie_index,
+        chipseq_bowtie_path=args.chipseq_bowtie_path,
         append_names=args.append_names,
         tag=args.tag,
         keep_intermediate_files=args.keep_intermediate_files,

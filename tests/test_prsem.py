@@ -286,3 +286,87 @@ def test_prsem_requires_pme(prsem_sample, monkeypatch):
             "--alignments", "aln.sam", "gref", "px", "-q",
             "--run-pRSEM", "--chipseq-peak-file", "peaks.bed",
         ])
+
+
+def _make_chipseq_tagalign(d, genes, glen=70000, seed=21):
+    """Synthetic ChIP-seq tagAlign: read stacks around peak-gene TSSs plus
+    uniform background, written as two replicate files."""
+    import gzip
+
+    rng = np.random.RandomState(seed)
+    rl, fl = 50, 150
+    rows = []
+    for gid, tid, s, e, has in genes:
+        if not has:
+            continue
+        centers = rng.randint(s - 80, s + 80, 120)
+        for c in centers:
+            if rng.uniform() < 0.5:
+                st, sp = "+", c - fl // 2
+            else:
+                st, sp = "-", c + fl // 2 - rl
+            sp = max(int(sp), 0)
+            rows.append(("chr1", sp, sp + rl, st))
+    bg = rng.randint(0, glen - rl, 600)
+    for sp in bg:
+        rows.append(("chr1", int(sp), int(sp) + rl,
+                     "+" if rng.uniform() < 0.5 else "-"))
+    rng.shuffle(rows)
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        with gzip.open(d / f"chip_rep{i + 1}.tagAlign.gz", "wt") as f:
+            for ch, s0, e0, st in chunk:
+                f.write(f"{ch}\t{s0}\t{e0}\tN\t1000\t{st}\n")
+
+
+@pytest.mark.parametrize("model", ["pk", "lm3", "nopk_lm2pk", "pk_lgtnopk"])
+def test_run_prsem_chipseq_leg_models(prsem_sample, monkeypatch, model):
+    """End-to-end --run-pRSEM from raw ChIP-seq tagAlign replicates: native
+    peak calling + reproducibility + the signal-based partition models."""
+    d, genes = prsem_sample
+    monkeypatch.chdir(d)
+    _make_chipseq_tagalign(d, genes)
+    sample = f"pcl_{model}"
+    rc = calc_main([
+        "--alignments", "aln.sam", "gref", sample, "-q",
+        "--calc-pme", "--seed", "13",
+        "--gibbs-burnin", "20", "--gibbs-number-of-samples", "80",
+        "--run-pRSEM", "--partition-model", model,
+        "--chipseq-target-read-files",
+        "chip_rep1.tagAlign.gz:chip_rep2.tagAlign.gz",
+        "--keep-intermediate-files",
+    ])
+    assert rc == 0
+    # native peak caller artifacts + prior file exist
+    temp = d / f"{sample}.temp"
+    assert (temp / "idr_target_vs_control.regionPeak.gz").exists()
+    assert (temp / "target.tagAlign.gz").exists()
+    priors = {}
+    with open(temp / f"{sample}_prsem.all_tr_prior") as f:
+        for line in f:
+            val, _, trid = line.split()
+            priors[trid] = float(val)
+    assert len(priors) == len(genes)
+    # peak genes get (weakly) larger priors on this separated fixture
+    pk_mean = np.mean([priors[t] for g, t, s, e, h in genes if h])
+    nopk_mean = np.mean([priors[t] for g, t, s, e, h in genes if not h])
+    assert pk_mean > nopk_mean
+
+
+def test_run_prsem_cmb_lgt(prsem_sample, monkeypatch):
+    d, genes = prsem_sample
+    monkeypatch.chdir(d)
+    _make_chipseq_tagalign(d, genes)
+    rc = calc_main([
+        "--alignments", "aln.sam", "gref", "pcmb", "-q",
+        "--calc-pme", "--seed", "13",
+        "--gibbs-burnin", "20", "--gibbs-number-of-samples", "80",
+        "--run-pRSEM", "--partition-model", "cmb_lgt",
+        "--chipseq-bed-files-multi-targets",
+        "chip_rep1.tagAlign.gz:chip_rep2.tagAlign.gz",
+        "--cap-stacked-chipseq-reads",
+        "--keep-intermediate-files",
+    ])
+    assert rc == 0
+    feat = (d / "pcmb.temp" / "pcmb_prsem.all_tr_features").read_text()
+    assert "partition" in feat.splitlines()[0]

@@ -13,6 +13,7 @@ ingestion — a native C++ sidecar can later replace this hot loop).
 from __future__ import annotations
 
 import gzip
+import os
 import struct
 import zlib
 from dataclasses import dataclass
@@ -289,6 +290,8 @@ class BamReader:
 def open_alignment_file(path: str):
     with open(path, "rb") as probe:
         head = probe.read(4)
+    if head == b"CRAM":
+        return BamReader(_cram_to_bam(path))
     if head[:2] == b"\x1f\x8b":
         with gzip.open(path, "rb") as g:
             inner = g.read(4)
@@ -296,6 +299,42 @@ def open_alignment_file(path: str):
             return BamReader(path)
         return SamReader(path)
     return SamReader(path)
+
+
+def _cram_to_bam(path: str) -> str:
+    """CRAM ingestion shim: the CRAM codec lives in htslib; rather than
+    reimplement its column compression we decode through samtools
+    (reference links htslib directly, SamParser.h via sam_open). Produces a
+    sibling .cram.bam once and reuses it."""
+    import shutil as _shutil
+    import subprocess as _sp
+
+    out = path + ".bam"
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(path):
+        return out
+    if _shutil.which("samtools") is None:
+        raise RuntimeError(
+            f"{path} is a CRAM file; decoding CRAM requires samtools on "
+            "PATH (run `samtools view -b -o file.bam file.cram` and pass "
+            "the BAM)"
+        )
+    _sp.run(["samtools", "view", "-b", "-o", out, path], check=True)
+    return out
+
+
+def load_fai(path: str):
+    """samtools .fai: name, length, ... — target names/lengths for SAM
+    inputs without @SQ header lines (rsem-calculate-expression --fai,
+    parseIt's -t list)."""
+    names, lens = [], []
+    with open(path) as f:
+        for line in f:
+            t = line.split()
+            if not t:
+                continue
+            names.append(t[0])
+            lens.append(int(t[1]))
+    return names, lens
 
 
 @dataclass
@@ -427,6 +466,7 @@ def parse_alignments(
     seed_len: int,
     filter_tag: str = "XM",
     use_native: bool = True,
+    fai: Optional[str] = None,
 ) -> AlignmentBundle:
     """Parse a SAM/BAM of transcript alignments (reference: parseIt.cpp).
 
@@ -441,6 +481,12 @@ def parse_alignments(
     paired = read_type >= 2
     has_qual = read_type in (1, 3)
     reader = open_alignment_file(path)
+    if fai and not reader.target_names:
+        names_f, lens_f = load_fai(fai)
+        reader.target_names = names_f
+        reader.target_lens = lens_f
+        if hasattr(reader, "_tid"):
+            reader._tid = {n: i for i, n in enumerate(names_f)}
 
     M = len(transcript_names) - 1
     name2sid = {}

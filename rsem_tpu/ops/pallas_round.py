@@ -239,16 +239,21 @@ def _round_kernel(
     noise_ref[0, 0] = t_
 
     # --- scatter: one-hot contraction over (hi, lo) ----------------------
+    # Mosaic only lowers plain 2D matmuls, so contract one slot-row at a
+    # time: upd[t, l] += sum_s u[s] * (hi[s] == t) * (lo[s] == l). The
+    # `rows` loop is static (8/16 MXU matmuls of [t_pad,128]x[128,128]).
     t_pad = contrib_ref.shape[0]
-    iota_t = jax.lax.broadcasted_iota(jnp.int32, (t_pad, rows, 128), 0)
-    a = jnp.where(hi[None, :, :] == iota_t, u[None, :, :], 0.0)
-    iota_l = jax.lax.broadcasted_iota(jnp.int32, (128, rows, 128), 0)
-    b = (lo[None, :, :] == iota_l).astype(jnp.float32)
-    upd = jax.lax.dot_general(
-        a, b,
-        dimension_numbers=(((1, 2), (1, 2)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [t_pad, 128]
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (t_pad, 128), 0)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    upd = jnp.zeros((t_pad, 128), jnp.float32)
+    for r in range(rows):
+        a = jnp.where(iota_t == hi[r : r + 1, :], u[r : r + 1, :], 0.0)
+        b = (iota_l == lo[r : r + 1, :]).astype(jnp.float32)  # b[l, s]
+        upd = upd + jax.lax.dot_general(
+            a, b,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [t_pad, 128]
     yc = upd - comp_ref[:]
     tc = contrib_ref[:] + yc
     comp_ref[:] = (tc - contrib_ref[:]) - yc
@@ -260,9 +265,7 @@ def _bucket_call(sid2d, cps2d, ncs2d, table, th0, K: int, t_rows: int,
     # Trace the kernel with x64 OFF: fast_estep enables x64 globally, which
     # makes jnp.take_along_axis build int64 indices — Mosaic has no 64-bit
     # types. Everything in the kernel is explicitly 32-bit anyway.
-    from jax.experimental import disable_x64
-
-    with disable_x64():
+    with jax.enable_x64(False):
         return _bucket_call_x32(sid2d, cps2d, ncs2d, table, th0, K, t_rows,
                                 interpret)
 

@@ -279,6 +279,24 @@ def run_command(command: str, log=print) -> None:
         raise RuntimeError(f'"{command}" failed! exit code {rc}')
 
 
+def _degzip_list(file_list: str, imd_name: str, tag: str) -> str:
+    """Decompress any .gz entries of a comma-separated read-file list into
+    `<imd>.<tag>.<i>.fq` and return the rewritten list."""
+    import gzip
+    import shutil
+
+    out = []
+    for i, f in enumerate(file_list.split(",")):
+        if f.endswith(".gz"):
+            plain = f"{imd_name}.{tag}.{i}.fq"
+            with gzip.open(f, "rb") as src, open(plain, "wb") as dst:
+                shutil.copyfileobj(src, dst)
+            out.append(plain)
+        else:
+            out.append(f)
+    return ",".join(out)
+
+
 def run_alignment(cfg: AlignerConfig, ref_name: str, sample_name: str,
                   imd_name: str, mate1_list: str,
                   mate2_list: Optional[str] = None, log=print) -> str:
@@ -286,7 +304,15 @@ def run_alignment(cfg: AlignerConfig, ref_name: str, sample_name: str,
 
     Bowtie/Bowtie2/HISAT2 write SAM to <imd>.sam (the reference pipes
     through `samtools view -b`; this framework's BAM parser accepts SAM
-    directly, so the pipe is unnecessary). STAR writes its own BAM."""
+    directly, so the pipe is unnecessary). STAR writes its own BAM.
+
+    Gzipped read files: bowtie2/hisat2 read .gz natively; classic bowtie
+    does not, so its inputs are decompressed next to the intermediates
+    first (the reference requires manual decompression there)."""
+    if cfg.aligner == "bowtie":
+        mate1_list = _degzip_list(mate1_list, imd_name, "m1")
+        if mate2_list:
+            mate2_list = _degzip_list(mate2_list, imd_name, "m2")
     command = build_alignment_command(cfg, ref_name, sample_name, imd_name,
                                       mate1_list, mate2_list)
     if cfg.aligner == "star":

@@ -105,6 +105,12 @@ class ExpressionConfig:
     tag: str = "XM"
     keep_intermediate_files: bool = False
     quiet: bool = False
+    # IO / observability (rsem-calculate-expression:102-103,139,147)
+    fai: Optional[str] = None  # .fai for header-less SAM inputs
+    record_time: bool = False  # --time -> sample_name.time
+    temporary_folder: Optional[str] = None
+    profile_dir: Optional[str] = None  # jax.profiler trace output
+    aligning_seconds: float = 0.0  # filled by main() when it ran an aligner
 
     @property
     def read_type(self) -> int:
@@ -148,9 +154,12 @@ def calculate_expression(
     external aligner execution is up to the caller / `main`)."""
     cfg = cfg or ExpressionConfig()
     t_start = time.time()
+    from ..utils.timing import StageTimer, maybe_profile
+
+    timer = StageTimer()
 
     sample_token = os.path.basename(sample_name)
-    temp_dir = f"{sample_name}.temp"
+    temp_dir = cfg.temporary_folder or f"{sample_name}.temp"
     stat_dir = f"{sample_name}.stat"
     os.makedirs(temp_dir, exist_ok=True)
     os.makedirs(stat_dir, exist_ok=True)
@@ -195,10 +204,11 @@ def calculate_expression(
         alignments = sorted_inp
 
     # ---- parse alignments (rsem-parse-alignments) ----
-    bundle = parse_alignments(
-        alignments, names, cfg.read_type, ref.has_polya, cfg.seed_length,
-        filter_tag=cfg.tag,
-    )
+    with timer.stage("parse-alignments"):
+        bundle = parse_alignments(
+            alignments, names, cfg.read_type, ref.has_polya, cfg.seed_length,
+            filter_tag=cfg.tag, fai=cfg.fai,
+        )
     sid2gid = np.concatenate([[0], gi.gids_of(np.arange(1, ts.M + 1))])
     finalize_cnt(bundle, sid2gid)
     bundle.cnt.write(f"{stat}.cnt")
@@ -210,9 +220,10 @@ def calculate_expression(
         raise RuntimeError("No alignable reads; nothing to estimate.")
 
     # ---- EM ----
-    model = GenerativeModel(spec, ref)
-    model.estimate_from_stats(bundle.stats)
-    em = run_em(model, ref, bundle, EMConfig(verbose=not cfg.quiet))
+    with timer.stage("em"), maybe_profile(cfg.profile_dir):
+        model = GenerativeModel(spec, ref)
+        model.estimate_from_stats(bundle.stats)
+        em = run_em(model, ref, bundle, EMConfig(verbose=not cfg.quiet))
 
     model.write(f"{stat}.model")
     write_theta_file(f"{stat}.theta", em.theta_raw, em.theta)
@@ -242,10 +253,11 @@ def calculate_expression(
             seed=seeds[1] if seeds[1] is not None else 0,
             keep_countvectors=cfg.calc_ci,
         )
-        gres = run_gibbs(
-            bundle.hits, em.log_conprb, em.log_ncp, ref.M, bundle.cnt.N0,
-            em.eel, model.mw, gi, gcfg, omit=bundle.omit, ta=ta,
-        )
+        with timer.stage("gibbs"):
+            gres = run_gibbs(
+                bundle.hits, em.log_conprb, em.log_ncp, ref.M, bundle.cnt.N0,
+                em.eel, model.mw, gi, gcfg, omit=bundle.omit, ta=ta,
+            )
         gene_pme_tpm = np.bincount(
             sid2gid[1:], weights=gres.pme_tpm[1:], minlength=gi.m
         )
@@ -318,7 +330,9 @@ def calculate_expression(
             pseudo_count=0.1 if cfg.single_cell_prior else 1.0,
             seed=seeds[2] if seeds[2] is not None else 0,
         )
-        cires = run_ci(gres.countvectors, em.eel, model.mw, gi, cicfg, ta=ta)
+        with timer.stage("ci"):
+            cires = run_ci(gres.countvectors, em.eel, model.mw, gi, cicfg,
+                           ta=ta)
         sid_ci = (
             ISO_TITLE_CI,
             np.stack(
@@ -464,6 +478,7 @@ def calculate_expression(
 
     # ---- posterior-weighted BAM output ----
     if not cfg.no_bam_output:
+        timer._open["bam-output"] = time.perf_counter()
         bam_path = f"{sample_name}.transcript.bam"
         write_transcript_bam(
             alignments, bam_path, bundle.hits, em.frac_hit, em.frac_noise,
@@ -480,15 +495,27 @@ def calculate_expression(
             if genome_bam:
                 sort_bam(genome_bam, f"{sample_name}.genome.sorted.bam",
                          by="coordinate", build_index=True)
+        timer.add("bam-output",
+                  time.perf_counter() - timer._open.pop("bam-output"))
 
-    if not cfg.keep_intermediate_files:
+    if not cfg.keep_intermediate_files and cfg.temporary_folder is None:
         shutil.rmtree(temp_dir, ignore_errors=True)
 
+    if cfg.record_time:
+        timer.write_time_file(f"{sample_name}.time",
+                              aligning=cfg.aligning_seconds)
     if not cfg.quiet:
+        try:
+            import jax
+
+            n_chips = len(jax.devices())
+        except Exception:
+            n_chips = 1
         print(
             f"calculate_expression finished in {time.time() - t_start:.1f}s "
-            f"({em.rounds} EM rounds)."
+            f"({em.rounds} EM rounds). Stage breakdown:"
         )
+        timer.report(log=print, n_reads=bundle.cnt.n_tot, n_chips=n_chips)
     return ExpressionResult(em=em, gibbs=gres, ci=cires, cnt=bundle.cnt)
 
 
@@ -579,6 +606,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tag", default="XM")
     p.add_argument("--keep-intermediate-files", action="store_true")
     p.add_argument("-q", "--quiet", action="store_true")
+    # IO / observability (rsem-calculate-expression:102-103,139,147)
+    p.add_argument("--fai", default=None,
+                   help=".fai giving target names/lengths for SAM inputs "
+                   "without @SQ header lines")
+    p.add_argument("--time", dest="record_time", action="store_true",
+                   help="write per-stage wall-clock to sample_name.time")
+    p.add_argument("--temporary-folder", default=None)
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of the EM stage here")
     return p
 
 
@@ -655,6 +691,10 @@ def main(argv=None) -> int:
         append_names=args.append_names,
         tag=args.tag,
         keep_intermediate_files=args.keep_intermediate_files,
+        fai=args.fai,
+        record_time=args.record_time,
+        temporary_folder=args.temporary_folder,
+        profile_dir=args.profile_dir,
         quiet=args.quiet,
     )
 
@@ -695,14 +735,16 @@ def main(argv=None) -> int:
             star_bzipped_read_file=args.star_bzipped_read_file,
             hisat2_path=args.hisat2_path,
         )
-        temp_dir = f"{sample_name}.temp"
+        temp_dir = args.temporary_folder or f"{sample_name}.temp"
         os.makedirs(temp_dir, exist_ok=True)
         imd = os.path.join(temp_dir, os.path.basename(sample_name))
+        t_align = time.time()
         input_file = run_alignment(
             acfg, reference_name, sample_name, imd,
             read_lists[0], read_lists[1],
             log=(lambda *a: None) if args.quiet else print,
         )
+        cfg.aligning_seconds = time.time() - t_align
 
     calculate_expression(input_file, reference_name, sample_name, cfg)
     return 0

@@ -304,6 +304,21 @@ def _bucket_call_x32(sid2d, cps2d, ncs2d, table, th0, K: int, t_rows: int,
     return contrib, noise[0, 0]
 
 
+def pallas_supported(M: int, backend: str = None) -> bool:
+    """True when the fused kernel path applies: Mosaic available, TPU
+    backend, and the theta table fits the per-grid-step VMEM scan budget."""
+    if not PALLAS_AVAILABLE or M > MAX_M_FOR_PALLAS:
+        return False
+    if backend is None:
+        try:
+            import jax
+
+            backend = jax.default_backend()
+        except Exception:  # pragma: no cover
+            return False
+    return backend == "tpu"
+
+
 def pallas_theta_round(
     theta: jnp.ndarray, data: PallasRoundData, interpret: bool = False
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

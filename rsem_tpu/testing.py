@@ -30,6 +30,7 @@ def synthetic_arrays_fast(
     mean_extra_hits: float = 1.5,
     seed: int = 0,
     collect_qual_stats: bool = False,
+    skewed_hits: bool = False,
 ) -> Tuple[Reference, AlignmentBundle, ModelSpec, GenerativeModel]:
     """Fully vectorized generator for benchmarks: sequence content is random
     (likelihood values are arbitrary but the compute shape is realistic).
@@ -49,7 +50,18 @@ def synthetic_arrays_fast(
     ref.offsets = np.zeros(M + 2, dtype=np.int64)
     np.cumsum(ref.tot_len, out=ref.offsets[1:])
 
-    n_hits_per = 1 + rng.poisson(mean_extra_hits, size=n_reads)
+    if skewed_hits:
+        # realistic skew (SURVEY §5 "long-context" axes): most reads map
+        # 1-4 places, a heavy tail multimaps up to the reference's bowtie
+        # -m 200 cap (rsem-calculate-expression:40)
+        n_hits_per = 1 + rng.poisson(mean_extra_hits, size=n_reads)
+        tail = rng.random(n_reads) < 0.05
+        n_hits_per[tail] = np.clip(
+            np.exp(rng.uniform(np.log(4), np.log(200), size=int(tail.sum()))),
+            4, 200,
+        ).astype(n_hits_per.dtype)
+    else:
+        n_hits_per = 1 + rng.poisson(mean_extra_hits, size=n_reads)
     H = int(n_hits_per.sum())
     rid = np.repeat(np.arange(n_reads, dtype=np.int32), n_hits_per)
     sid = rng.integers(1, M + 1, size=H).astype(np.int32)

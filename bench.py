@@ -1,23 +1,34 @@
-"""Benchmark: EM hot-loop throughput on the real TPU chip.
+"""Benchmark: honest end-to-end EM on the real TPU chip.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Workload mirrors the reference's hot path (EM.cpp E_STEP over cached
-conprbs): a theta-only EM round = segment softmax over all alignments +
-expected-count scatter + renormalize, on 1M single-end reads with ~2.5
-alignments each against a 20k-transcript reference.
+Workload mirrors the measured-reference workload exactly
+(tools/measure_baseline.py -> tools/baseline_measured.json): 1M single-end
+qual reads, ~2.5 alignments/read, M=20k transcripts, SingleQModel.
 
-vs_baseline compares against the MEASURED reference binaries on this very
-workload (tools/measure_baseline.py -> tools/baseline_measured.json): the
-reference rsem-run-em was built from /root/reference and timed here; its
-1-thread theta-round throughput is extrapolated linearly to 16 threads
-(which flatters the reference: measured 1->2-thread efficiency was 0.56).
+The benchmark spans the reference's full rsem-run-em window (EM.cpp:177-416):
+  * 10 model-update rounds: conprb recompute + E-step + sufficient-stat
+    scatter + host model refit      (reference: 31.9s of its 34.3s at 1t)
+  * conprb freeze + device->host fetch + theta-loop layout build
+  * the converged theta-only while_loop on device
+  * the final expected-weight E-step (EM.cpp:460-478)
+Parse is excluded on both sides and reported separately (see
+tools/bench_ingest.py; reference parse = 11.18s on this host).
 
-conprb_pass_sec sanity (VERDICT r1 flagged it): the conprb pass is
-memory-roofline work, not lookup-roofline — per pass it moves ~0.5 GB
-(gathered ref windows + read codes + quals + logits) so ~0.6 ms at v5e's
-~800 GB/s is expected; the number is re-measured twice below and both
-timings are reported.
+vs_baseline = ref_em_16t / our_em_warm, where ref_em_16t extrapolates the
+measured 1-thread 34.28s via Amdahl's law fitted to the measured 1->2
+thread speedup (1.952x => serial fraction 2.46%, S16 = 11.7x, 2.93s).
+The old straight-linear extrapolation (2.14s) is reported alongside; both
+flatter the reference (the measurement host has only 2 cores).
+
+Timing: on the axon platform block_until_ready returns at dispatch;
+every phase is closed with utils.jaxinit.sync() which forces real
+execution (scalar fetch through the data dependency).
+
+Cold vs warm: the whole EM span runs twice in-process; the second pass
+reuses live jit executables (and, across processes, the persistent XLA
+compilation cache — utils/jaxinit). The warm number is the headline;
+cold (first-pass, includes compiles) is in detail.
 """
 
 import json
@@ -30,138 +41,130 @@ _BASELINE_FILE = os.path.join(os.path.dirname(__file__), "tools",
                               "baseline_measured.json")
 
 
-def _ref_baseline() -> float:
-    """Measured 16-thread-extrapolated reference theta-round reads/s."""
+def _baseline():
     try:
         with open(_BASELINE_FILE) as f:
             d = json.load(f)
-        return float(d["ref_theta_reads_per_sec_16thread_linear_extrap"])
     except Exception:
-        return 40e6  # pre-measurement provisional estimate
-
-
-REF_CPU_READS_PER_SEC = _ref_baseline()
+        return None
+    r1 = next(r for r in d["runs"] if r["threads"] == 1)
+    r2 = next(r for r in d["runs"] if r["threads"] == 2)
+    s2 = r1["total_sec"] / r2["total_sec"]
+    # Amdahl: S2 = 1/(s + (1-s)/2)  =>  s = 2/S2 - 1
+    serial = max(2.0 / s2 - 1.0, 0.0)
+    s16 = 1.0 / (serial + (1.0 - serial) / 16.0)
+    return {
+        "ref_em_1t_sec": r1["total_sec"],
+        "ref_em_2t_sec": r2["total_sec"],
+        "ref_em_16t_amdahl_sec": r1["total_sec"] / s16,
+        "ref_em_16t_linear_sec": r1["total_sec"] / 16.0,
+        "ref_model_rounds_1t_sec": r1["model_rounds_sec"],
+        "ref_theta_rounds_1t_sec": r1["theta_rounds_sec"],
+        "ref_theta_reads_per_sec_16t_linear":
+            d["ref_theta_reads_per_sec_16thread_linear_extrap"],
+        "ref_parse_sec": d.get("parse_alignments_sec"),
+        "amdahl_serial_fraction": serial,
+    }
 
 
 def main():
     import jax
     import jax.numpy as jnp
-
     from functools import partial
 
-    from rsem_tpu.ops import (
-        HitsDevice,
-        KernelConfig,
-        ReadsDevice,
-        RefDevice,
-        compute_log_conprb,
-        compute_log_noise_conprb,
-    )
-    from rsem_tpu.ops.fast_estep import build_fast_data, fast_theta_round
+    from rsem_tpu.utils.jaxinit import configure, fetch, fetch64, sync
+    configure()
+
+    from rsem_tpu.engine.em import EMConfig, run_em
     from rsem_tpu.testing import synthetic_arrays_fast
 
     n_reads = 1_000_000
-    ref, bundle, spec, model = synthetic_arrays_fast(
-        n_reads=n_reads, M=20_000, read_len=100, tx_len=2000,
+    M = 20_000
+    ref, bundle, spec, model0 = synthetic_arrays_fast(
+        n_reads=n_reads, M=M, read_len=100, tx_len=2000,
         paired=False, has_qual=True, mean_extra_hits=1.5, seed=0,
     )
+    kernel = os.environ.get("RSEM_TPU_BENCH_KERNEL", "auto")
+    em_cfg = EMConfig(backend="device", fast_kernel=kernel)
 
+    def one_pass():
+        import copy
+        model = copy.deepcopy(model0)
+        t0 = time.perf_counter()
+        res = run_em(model, ref, bundle, em_cfg, need_posteriors=False)
+        # run_em's outputs are host arrays => the span is fully synced
+        dt = time.perf_counter() - t0
+        return dt, res
+
+    cold_sec, res_cold = one_pass()
+    warm_sec, res = one_pass()
+
+    # steady-state theta-round throughput (the r01/r02 comparable number)
+    from rsem_tpu.ops import (
+        HitsDevice, KernelConfig, ReadsDevice, RefDevice,
+        compute_log_conprb, compute_log_noise_conprb,
+    )
     refd = RefDevice.from_reference(ref)
     m1 = ReadsDevice.from_arrays(bundle.reads)
     hd = HitsDevice.from_arrays(bundle.hits)
-    kcfg = KernelConfig.from_model(model, m1.codes.shape[1])
-    dev_model = {
-        k: jnp.asarray(v, dtype=jnp.float32) for k, v in model.device_arrays().items()
-    }
-    M = ref.M
+    kcfg = KernelConfig.from_model(res.model, m1.codes.shape[1])
+    dm = {k: jnp.asarray(v, dtype=jnp.float32)
+          for k, v in res.model.device_arrays().items()}
+    lcp_d = jax.jit(partial(compute_log_conprb, kcfg))(refd, m1, None, hd, dm)
+    lnp_d = jax.jit(partial(compute_log_noise_conprb, kcfg))(m1, None, dm)
+    sync(lcp_d, lnp_d)
+    lcp = fetch(lcp_d)[: bundle.hits.n_hits]
+    lnp = fetch(lnp_d)[: bundle.hits.n_reads]
+    theta0 = jnp.full((M + 1,), 1.0 / (M + 1), dtype=jnp.float32)
 
-    conprb_fn = jax.jit(partial(compute_log_conprb, kcfg))
-    ncp_fn = jax.jit(partial(compute_log_noise_conprb, kcfg))
-
-    # compile first, then time the steady-state conprb pass (the hot op of
-    # the 10 model-update rounds)
-    log_conprb = conprb_fn(refd, m1, None, hd, dev_model)
-    log_ncp = ncp_fn(m1, None, dev_model)
-    jax.block_until_ready((log_conprb, log_ncp))
-    conprb_times = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        log_conprb = conprb_fn(refd, m1, None, hd, dev_model)
-        jax.block_until_ready(log_conprb)
-        conprb_times.append(time.perf_counter() - t0)
-    conprb_time = float(np.median(conprb_times))
-
-    fdata = build_fast_data(
-        bundle.hits,
-        np.asarray(log_conprb, dtype=np.float64)[: bundle.hits.n_hits],
-        np.asarray(log_ncp, dtype=np.float64)[: bundle.hits.n_reads],
-        M,
-        0.0,
-    )
-
-    @jax.jit
-    def k_rounds(theta, k):
-        def body(_, th):
-            th, _counts = fast_theta_round(th, fdata)
-            return th
-        return jax.lax.fori_loop(0, k, body, theta)
-
-    theta0 = jnp.asarray(np.full(M + 1, 1.0 / (M + 1)), dtype=jnp.float32)
-    # warmup/compile
-    jax.block_until_ready(k_rounds(theta0, 2))
-
+    from rsem_tpu.ops import pallas_round as _pr
+    use_pallas = (kernel == "pallas") or (
+        kernel in ("auto",) and _pr.pallas_supported(M))
+    if use_pallas:
+        pdata = _pr.build_pallas_data(bundle.hits, lcp, lnp, M, 0.0)
+        round_fn = jax.jit(lambda t: _pr.pallas_theta_round(t, pdata)[0])
+    else:
+        from rsem_tpu.ops.fast_estep import build_fast_data, fast_theta_round
+        fdata = build_fast_data(bundle.hits, lcp, lnp, M, 0.0)
+        round_fn = jax.jit(lambda t: fast_theta_round(t, fdata)[0])
+    th = round_fn(theta0)
+    sync(th)
     iters = 50
     t0 = time.perf_counter()
-    out = k_rounds(theta0, iters)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    th = theta0
+    for _ in range(iters):
+        th = round_fn(th)
+    sync(th)
+    round_sec = (time.perf_counter() - t0) / iters
+    reads_per_sec = n_reads / round_sec
 
-    iters_per_sec = iters / dt
-    reads_per_sec = n_reads * iters_per_sec
-
-    # end-to-end EM (the reference's rsem-run-em span, parse excluded):
-    # conprb freeze + layout build + full converged loop
-    from rsem_tpu.ops.fast_estep import run_fast_em_loop
-
-    t0 = time.perf_counter()
-    lcp2 = conprb_fn(refd, m1, None, hd, dev_model)
-    lnp2 = ncp_fn(m1, None, dev_model)
-    jax.block_until_ready((lcp2, lnp2))
-    fdata2 = build_fast_data(
-        bundle.hits,
-        np.asarray(lcp2, dtype=np.float64)[: bundle.hits.n_hits],
-        np.asarray(lnp2, dtype=np.float64)[: bundle.hits.n_reads],
-        M, 0.0,
-    )
-    loop_fn = jax.jit(partial(run_fast_em_loop))
-    th, _cts, rounds = loop_fn(theta0, fdata2)
-    jax.block_until_ready(th)
-    em_end_to_end_sec = time.perf_counter() - t0
-
-    ref_e2e = None
-    try:
-        with open(_BASELINE_FILE) as f:
-            b = json.load(f)
-        ref_e2e = float(b["ref_em_end_to_end_sec_16thread_linear_extrap"])
-    except Exception:
-        pass
+    base = _baseline()
+    vs = None
+    if base:
+        vs = base["ref_em_16t_amdahl_sec"] / warm_sec
 
     result = {
-        "metric": "EM theta-round reads/sec/chip (1M reads, 2.5 aln/read, M=20k)",
-        "value": round(reads_per_sec),
-        "unit": "reads/s",
-        "vs_baseline": round(reads_per_sec / REF_CPU_READS_PER_SEC, 3),
+        "metric": "EM end-to-end wall-clock (1M reads, 2.5 aln/read, M=20k; "
+                  "10 model rounds + theta loop + final E-step)",
+        "value": round(warm_sec, 3),
+        "unit": "seconds",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
         "detail": {
-            "iterations_per_sec": round(iters_per_sec, 2),
+            "em_end_to_end_warm_sec": round(warm_sec, 3),
+            "em_end_to_end_cold_sec": round(cold_sec, 3),
+            "em_rounds_total": int(res.rounds),
+            "theta_round_sec": round(round_sec, 5),
+            "theta_reads_per_sec": round(reads_per_sec),
+            "theta_kernel": "pallas" if use_pallas else "xla",
             "n_hits": int(bundle.hits.n_hits),
-            "conprb_pass_sec": [round(t, 4) for t in conprb_times],
-            "em_end_to_end_sec": round(em_end_to_end_sec, 3),
-            "em_rounds_to_converge": int(rounds),
-            "ref_em_end_to_end_sec_16t_extrap": ref_e2e,
+            "reference": base,
+            "vs_ref_1t": round(base["ref_em_1t_sec"] / warm_sec, 2) if base else None,
+            "vs_ref_2t_measured": round(base["ref_em_2t_sec"] / warm_sec, 2) if base else None,
+            "vs_ref_16t_linear": round(base["ref_em_16t_linear_sec"] / warm_sec, 2) if base else None,
             "baseline_source": (
-                "measured: tools/baseline_measured.json "
-                "(reference built+timed in this environment, 1-thread "
-                "measurement linearly extrapolated to 16 threads)"
+                "measured: tools/baseline_measured.json (reference built + "
+                "timed on this host at 1 and 2 threads; 16t = Amdahl fit "
+                "to the measured 1->2 scaling, favors the reference)"
             ),
             "device": str(jax.devices()[0]),
         },

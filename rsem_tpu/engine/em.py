@@ -47,6 +47,7 @@ from ..ops.conprb import (
 )
 from ..ops.estep import estep_fracs, suffstats
 from ..ops.layout import HitsDevice, KernelConfig, ReadsDevice, RefDevice
+from ..utils.jaxinit import configure as _configure_jax, fetch64
 
 
 @dataclass
@@ -58,6 +59,9 @@ class EMConfig:
     verbose: bool = False
     backend: str = "auto"  # auto | hybrid | device | native
     theta_backend: str = "device"  # device (TPU loop) | native (CPU loop)
+    # theta-loop kernel on single-device TPU: auto picks the fused Pallas
+    # round when supported (TPU backend, M <= 64k), else the XLA round
+    fast_kernel: str = "auto"  # auto | pallas | xla
 
 
 @dataclass
@@ -119,7 +123,34 @@ def _run_fast_loop(theta, bundle, lcp_np, lnp_np, M, N0, em_cfg, rounds):
         )
         final = lambda th: fast_final_fracs_sharded(
             jnp.asarray(th, dtype=jnp.float32), sd)
-        return np.asarray(theta_dev, dtype=np.float64), int(rounds_dev), final
+        return fetch64(theta_dev), int(rounds_dev), final
+
+    from ..ops import pallas_round as _pr
+
+    use_pallas = em_cfg.fast_kernel == "pallas" or (
+        em_cfg.fast_kernel == "auto" and _pr.pallas_supported(M)
+    )
+    if use_pallas:
+        pdata = _pr.build_pallas_data(bundle.hits, lcp_np, lnp_np, M,
+                                      float(N0))
+        loop_fn = jax.jit(
+            partial(_pr.run_pallas_em_loop, min_round=em_cfg.min_round,
+                    max_round=em_cfg.max_round)
+        )
+        theta_dev, counts_dev, rounds_dev = loop_fn(
+            jnp.asarray(theta, dtype=jnp.float32), pdata,
+            start_round=jnp.asarray(rounds, dtype=jnp.int32),
+        )
+
+        def final(th):
+            f, fn_ = jax.jit(lambda t: _pr.pallas_final_fracs(t, pdata))(
+                jnp.asarray(th, dtype=jnp.float32))
+            return (
+                fetch64(f)[: bundle.hits.n_hits],
+                fetch64(fn_)[: bundle.hits.n_reads],
+            )
+
+        return fetch64(theta_dev), int(rounds_dev), final
 
     from ..ops.fast_estep import (
         build_fast_data,
@@ -141,11 +172,11 @@ def _run_fast_loop(theta, bundle, lcp_np, lnp_np, M, N0, em_cfg, rounds):
         f, fn_ = jax.jit(lambda t: fast_final_fracs(t, fdata))(
             jnp.asarray(th, dtype=jnp.float32))
         return (
-            np.asarray(f, dtype=np.float64)[: bundle.hits.n_hits],
-            np.asarray(fn_, dtype=np.float64)[: bundle.hits.n_reads],
+            fetch64(f)[: bundle.hits.n_hits],
+            fetch64(fn_)[: bundle.hits.n_reads],
         )
 
-    return np.asarray(theta_dev, dtype=np.float64), int(rounds_dev), final
+    return fetch64(theta_dev), int(rounds_dev), final
 
 
 def _theta_init(cnt, M: int) -> np.ndarray:
@@ -288,10 +319,10 @@ def _run_em_device_sharded(model, ref, bundle, em_cfg, need_posteriors,
         new_theta, counts, suff = round_fn(
             log_theta, refd, sharded.m1, sharded.m2, sharded.hits, dev_model
         )
-        suff_np = {k: np.asarray(v, dtype=np.float64) for k, v in suff.items()}
+        suff_np = {k: fetch64(v) for k, v in suff.items()}
         model.finish_round(suff_np)
         dev_model = to_dev(model.device_arrays())
-        new_theta = np.asarray(new_theta, dtype=np.float64)
+        new_theta = fetch64(new_theta)
         bchg, _ = _bchange(new_theta, theta)
         theta = new_theta
         if em_cfg.verbose:
@@ -300,8 +331,8 @@ def _run_em_device_sharded(model, ref, bundle, em_cfg, need_posteriors,
     # conprb freeze under the mesh, unpadded + restitched on host
     lcp_sh, lnp_sh = conprb_fn(refd, sharded.m1, sharded.m2, sharded.hits,
                                dev_model)
-    lcp_sh = np.asarray(lcp_sh, dtype=np.float64)
-    lnp_sh = np.asarray(lnp_sh, dtype=np.float64)
+    lcp_sh = fetch64(lcp_sh)
+    lnp_sh = fetch64(lnp_sh)
     lcp_np = np.concatenate([
         lcp_sh[d, : hit_bounds[d + 1] - hit_bounds[d]] for d in range(n_dev)
     ]) if bundle.hits.n_hits else np.zeros(0)
@@ -384,19 +415,19 @@ def _run_em_device(model, ref, bundle, em_cfg, need_posteriors) -> EMResult:
         new_theta, counts, suff = round_fn(
             log_theta, log_conprb, log_ncp, dev_model, refd, m1, m2, hd
         )
-        suff_np = {k: np.asarray(v, dtype=np.float64) for k, v in suff.items()}
+        suff_np = {k: fetch64(v) for k, v in suff.items()}
         model.finish_round(suff_np)
         dev_model = to_dev(model.device_arrays())
         log_conprb = conprb_fn(refd, m1, m2, hd, dev_model)
         log_ncp = ncp_fn(m1, m2, dev_model)
-        new_theta = np.asarray(new_theta, dtype=np.float64)
+        new_theta = fetch64(new_theta)
         bchg, _ = _bchange(new_theta, theta)
         theta = new_theta
         if em_cfg.verbose:
             print(f"ROUND = {rounds}, bChange = {bchg:.6g}")
 
-    lcp_np = np.asarray(log_conprb, dtype=np.float64)[: bundle.hits.n_hits]
-    lnp_np = np.asarray(log_ncp, dtype=np.float64)[: bundle.hits.n_reads]
+    lcp_np = fetch64(log_conprb)[: bundle.hits.n_hits]
+    lnp_np = fetch64(log_ncp)[: bundle.hits.n_reads]
     theta, rounds, final = _run_fast_loop(
         theta, bundle, lcp_np, lnp_np, M, N0, em_cfg, rounds
     )
@@ -419,6 +450,7 @@ def run_em(
     ref: refprep.Reference; bundle: io.AlignmentBundle."""
     em_cfg = em_cfg or EMConfig()
     assert bundle.cnt.N1 > 0, "No alignable reads"
+    _configure_jax()  # x64 for the tiny f64 accumulators + XLA disk cache
 
     backend = em_cfg.backend
     if backend == "auto":

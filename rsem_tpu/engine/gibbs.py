@@ -29,6 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import EPSILON
+from ..ops.ddsum import dd_add, dd_add_f32, dd_sq
+from ..utils.jaxinit import fetch64
 
 NEG_INF = -jnp.inf
 
@@ -244,13 +246,18 @@ def run_gibbs(
     def chain(key):
         z, counts = init_chain(jax.random.fold_in(key, 0x7FFFFFFF))
 
+        # double-float (hi, lo) accumulators: the moment sums need ~f64
+        # precision (pve = E[c^2] - E[c]^2 cancels catastrophically) but
+        # TPU f64 is emulated and the global x64 flag poisons index math
+        # everywhere else — see ops/ddsum
+        ddz = lambda n: (jnp.zeros(n, jnp.float32), jnp.zeros(n, jnp.float32))
         acc0 = dict(
-            pme_c=jnp.zeros(M + 1, jnp.float64),
-            pve_c=jnp.zeros(M + 1, jnp.float64),
-            pme_tpm=jnp.zeros(M + 1, jnp.float64),
-            pme_fpkm=jnp.zeros(M + 1, jnp.float64),
-            pve_c_genes=jnp.zeros(m, jnp.float64),
-            pve_c_trans=jnp.zeros(max(m_trans, 1), jnp.float64),
+            pme_c=ddz(M + 1),
+            pve_c=ddz(M + 1),
+            pme_tpm=ddz(M + 1),
+            pme_fpkm=ddz(M + 1),
+            pve_c_genes=ddz(m),
+            pve_c_trans=ddz(max(m_trans, 1)),
         )
         cvs0 = jnp.zeros(
             (samples_per_chain if cfg.keep_countvectors else 1, M + 1),
@@ -265,18 +272,19 @@ def run_gibbs(
             def do_retain(args):
                 acc, cvs = args
                 tpm, fpkm = expression_values(counts)
+                gsum = jax.ops.segment_sum(counts[1:], gids, num_segments=m)
                 acc = dict(
-                    pme_c=acc["pme_c"] + counts,
-                    pve_c=acc["pve_c"] + counts.astype(jnp.float64) ** 2,
-                    pme_tpm=acc["pme_tpm"] + tpm,
-                    pme_fpkm=acc["pme_fpkm"] + fpkm,
-                    pve_c_genes=acc["pve_c_genes"]
-                    + jax.ops.segment_sum(counts[1:], gids, num_segments=m) ** 2,
-                    pve_c_trans=acc["pve_c_trans"]
-                    + (
-                        jax.ops.segment_sum(counts[1:], tids, num_segments=m_trans) ** 2
+                    pme_c=dd_add_f32(acc["pme_c"], counts),
+                    pve_c=dd_add(acc["pve_c"], dd_sq(counts)),
+                    pme_tpm=dd_add_f32(acc["pme_tpm"], tpm),
+                    pme_fpkm=dd_add_f32(acc["pme_fpkm"], fpkm),
+                    pve_c_genes=dd_add(acc["pve_c_genes"], dd_sq(gsum)),
+                    pve_c_trans=dd_add(
+                        acc["pve_c_trans"],
+                        dd_sq(jax.ops.segment_sum(counts[1:], tids,
+                                                  num_segments=m_trans))
                         if ta is not None
-                        else jnp.zeros(1, jnp.float64)
+                        else (jnp.zeros(1, jnp.float32),) * 2,
                     ),
                 )
                 if cfg.keep_countvectors:
@@ -306,16 +314,21 @@ def run_gibbs(
     accs, cvs = jax.jit(jax.vmap(chain))(keys)
 
     ns = cfg.nsamples
-    pme_c = np.asarray(accs["pme_c"].sum(axis=0)) / ns
-    pve_c = np.asarray(accs["pve_c"].sum(axis=0))
+
+    def acc_np(key):
+        hi, lo = accs[key]
+        return (fetch64(hi) + fetch64(lo)).sum(axis=0)
+
+    pme_c = acc_np("pme_c") / ns
+    pve_c = acc_np("pve_c")
     pve_c = (pve_c - ns * pme_c**2) / (ns - 1)
     pve_c[pve_c < 0] = 0.0
-    pme_tpm = np.asarray(accs["pme_tpm"].sum(axis=0)) / ns
-    pme_fpkm = np.asarray(accs["pme_fpkm"].sum(axis=0)) / ns
+    pme_tpm = acc_np("pme_tpm") / ns
+    pme_fpkm = acc_np("pme_fpkm") / ns
 
     gids_np = gi.gids_of(sids)
     pme_c_genes = np.bincount(gids_np, weights=pme_c[1:], minlength=m)
-    pve_c_genes = np.asarray(accs["pve_c_genes"].sum(axis=0))
+    pve_c_genes = acc_np("pve_c_genes")
     pve_c_genes = (pve_c_genes - ns * pme_c_genes**2) / (ns - 1)
     pve_c_genes[pve_c_genes < 0] = 0.0
 
@@ -323,7 +336,7 @@ def run_gibbs(
     if ta is not None:
         tids_np = ta.gids_of(sids)
         pme_c_trans = np.bincount(tids_np, weights=pme_c[1:], minlength=m_trans)
-        pve_c_trans = np.asarray(accs["pve_c_trans"].sum(axis=0))
+        pve_c_trans = acc_np("pve_c_trans")
         pve_c_trans = (pve_c_trans - ns * pme_c_trans**2) / (ns - 1)
         pve_c_trans[pve_c_trans < 0] = 0.0
 

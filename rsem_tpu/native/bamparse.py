@@ -34,15 +34,23 @@ _c_i64p = ctypes.POINTER(ctypes.c_int64)
 
 
 def _build() -> bool:
-    cmd = [
+    base = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-        _SRC, "-o", _SO, "-lz",
+        _SRC, "-o", _SO,
     ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True)
-        return True
-    except (subprocess.CalledProcessError, FileNotFoundError):
-        return False
+    # prefer libdeflate for BGZF block inflate (~2-3x zlib); fall back to
+    # zlib-only when the dev header/library is unavailable
+    candidates = [
+        base + ["-DUSE_LIBDEFLATE", "-ldeflate", "-lz"],
+        base + ["-lz"],
+    ]
+    for cmd in candidates:
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+            return True
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            continue
+    return False
 
 
 def get_lib() -> Optional[ctypes.CDLL]:

@@ -13,8 +13,8 @@ fixed-conprb round around the TPU's strengths:
     cross-layout permutation (dense fracs -> sid-sorted) has near-sorted
     indices and good DMA locality;
   * expected counts come from a segment sum over *statically sorted* sids
-    via a two-level blocked cumsum (f32 within 512-wide blocks, f64 across
-    blocks) — no scatters; with only M+1 boundaries this costs ~2 ms;
+    via a two-level blocked cumsum (f32 within 512-wide blocks, double-float
+    across blocks) — no scatters; with only M+1 boundaries this costs ~2 ms;
   * gathers are widened to [len, G] row gathers — ~8x faster than
     elementwise gathers on the VPU/DMA path;
   * per-read conprbs are pre-scaled by exp(-max logit) at freeze time so
@@ -22,11 +22,21 @@ fixed-conprb round around the TPU's strengths:
 
 The whole EM loop runs on device inside one lax.while_loop with the
 reference's convergence rule (EM.cpp:53-55,407-416).
+
+Compile-time discipline (VERDICT r2: 137s cold compile): the sid-sorted
+hit chunks are STACKED into [C, L] arrays and the round scans over them
+with lax.scan; gathers split index arrays with lax.map, not Python loops —
+the traced round body is a handful of ops regardless of dataset size.
+Bucket row counts and chunk geometry are padded up to a quarter-power-of-2
+menu so the jit signature (and the persistent compilation cache entry) is
+stable across datasets of similar scale. No float64 anywhere: the tiny
+cross-block accumulators use double-float pairs (ops/ddsum) so the engine
+never needs JAX's global x64 flag (which would poison index math with
+emulated i64) and nothing wider than f32 is ever computed or transferred.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -34,16 +44,36 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import MAX_ROUND, MIN_ROUND, STOP_CRITERIA, THETA_CUT
-
-# the cross-block cumsum needs real float64 (counts magnitudes reach 1e9
-# reads while EM convergence tests 1e-3 relative changes); everything hot
-# stays explicitly float32/int32
-jax.config.update("jax_enable_x64", True)
+from ..utils.jaxinit import configure as _configure_jax
+from .ddsum import (
+    dd_add,
+    dd_add_f32,
+    dd_cumsum,
+    dd_diff_f32,
+    dd_sum,
+    dd_to_f32,
+)
 
 BLOCK = 512
 GATHER_W = 8  # row-gather width
 IDX_CHUNK = 262144  # split gather index arrays (measured ~1.7x on VMEM tables)
 RSLICE = 131072  # denominator-table slice so each chunk's source fits VMEM
+
+
+def menu_round(n: int) -> int:
+    """Smallest value >= n of the form {4,5,6,7} * 2^k (quarter-pow2 menu,
+    <= 25% padding). Keeps jit signatures stable across similar datasets so
+    the persistent compilation cache hits."""
+    n = int(n)
+    if n <= 4:
+        return max(n, 1)
+    k = max(int(np.floor(np.log2(n / 7.0))), 0)
+    while True:
+        for m in (4, 5, 6, 7):
+            v = m << k
+            if v >= n:
+                return v
+        k += 1
 
 
 def _pad_np(x: np.ndarray, n: int, fill=0) -> np.ndarray:
@@ -59,21 +89,20 @@ class FastEStepData(NamedTuple):
 
     Hits live in dense read-major buckets; `flat` refers to the
     concatenation of all buckets' [N_K, K] tiles, row-major, padded rows
-    (sid 0 / cps 0) included. `sorted` refers to the static sid-sort of the
-    flat slots; the only per-round cross-layout op is the gather of
-    per-read-slot inverse denominators at `rslot_sorted` (a [rows_total]
-    table — gather cost grows with source-table size, so indexing the
-    small denominator table beats permuting the [Hp] fracs)."""
+    (sid 0 / cps 0) included. The hits are also regrouped by (read-slot
+    RSLICE chunk, sid) into stacked [C, L] arrays scanned per round: the
+    only per-round cross-layout op is the gather of per-read-slot inverse
+    denominators at `rloc_c` (each scan step reads one VMEM-sized RSLICE
+    slice of the denominator table)."""
 
     sid_b: Tuple[jnp.ndarray, ...]  # per bucket [N_K, K] int32 (pad: 0)
     cps_b: Tuple[jnp.ndarray, ...]  # per bucket [N_K, K] f32 (pad: 0)
     ncs_b: Tuple[jnp.ndarray, ...]  # per bucket [N_K] f32 (pad rows: 0)
-    # hits regrouped by (read-slot RSLICE chunk, sid), per chunk:
-    cps_c: Tuple[jnp.ndarray, ...]  # f32 cps per sorted slot (pad: 0)
-    rloc_c: Tuple[jnp.ndarray, ...]  # int32 read-slot % RSLICE (pad: 0)
-    sid_starts_c: Tuple[jnp.ndarray, ...]  # [M+2] int32 local boundaries
-    rows_pad: int  # C_r * RSLICE (invd padded length)
-    restore_hit: jnp.ndarray  # [H] int32 flat slot of each original hit
+    cps_c: jnp.ndarray  # [C, L] f32 cps per sorted slot (pad: 0)
+    rloc_c: jnp.ndarray  # [C, L] int32 read-slot % RSLICE (pad: 0)
+    sid_starts_c: jnp.ndarray  # [C, M+2] int32 local segment boundaries
+    rows_pad: int  # C * RSLICE (invd padded length)
+    restore_hit: Optional[jnp.ndarray]  # [H] int32 flat slot of each orig hit
     restore_read_b: Tuple[np.ndarray, ...]  # per bucket [N_K] orig read id
     n_reads: int
     M: int
@@ -90,7 +119,7 @@ def _bucket_sizes(max_hits: int) -> list:
     return out
 
 
-def natural_rows(nh: np.ndarray, sizes) -> list:
+def natural_rows(nh: np.ndarray, sizes, stable: bool = True) -> list:
     """Rows each bucket occupies for the given hits-per-read vector (the
     padding rule of build_fast_data), without building the tiles. Used to
     force identical tile shapes across read shards (shard_map requires
@@ -100,10 +129,18 @@ def natural_rows(nh: np.ndarray, sizes) -> list:
     for bi, K in enumerate(sizes):
         n_k = int((bucket_of == bi).sum())
         if K >= BLOCK:
-            rows.append(max(n_k, 1))
+            r = max(n_k, 1)
         else:
             q = BLOCK // K
-            rows.append(max(-(-n_k // q) * q, q))
+            r = max(-(-n_k // q) * q, q)
+        if stable and n_k:
+            # menu-pad, then restore BLOCK-alignment of the flattened tile
+            r2 = menu_round(r)
+            if K < BLOCK:
+                q = BLOCK // K
+                r2 = -(-r2 // q) * q
+            r = r2
+        rows.append(r)
     return rows
 
 
@@ -115,38 +152,50 @@ def build_fast_data(
     n0: float,
     sizes: Optional[list] = None,
     forced_rows: Optional[list] = None,
+    forced_chunk_len: Optional[int] = None,
+    forced_n_chunks: Optional[int] = None,
+    device_put: bool = True,
 ) -> FastEStepData:
     """Host-side setup after conprb freeze. hits: io.HitArrays (unpadded);
-    log_conprb/log_ncp: numpy [H]/[N].
+    log_conprb/log_ncp: numpy [H]/[N] (any float dtype).
 
-    sizes/forced_rows: externally imposed bucket widths and per-bucket row
-    counts (>= the natural ones); used by build_fast_data_sharded so every
-    read shard produces identically-shaped tiles. When forced, empty
+    sizes/forced_rows/forced_chunk_len/forced_n_chunks: externally imposed
+    geometry (>= the natural one); used by build_fast_data_sharded so every
+    read shard produces identically-shaped arrays. When forced, empty
     buckets are emitted as all-padding tiles instead of skipped."""
+    _configure_jax()
     H = hits.n_hits
     N = hits.n_reads
     sid = hits.sid.astype(np.int64)
     offs = hits.read_offsets.astype(np.int64)  # [N+1]
     nh = np.diff(offs)  # hits per read
 
-    # per-read max logit over hits and noise slot
-    rid = np.repeat(np.arange(N, dtype=np.int64), nh)
-    read_max = np.full(N, -np.inf)
-    np.maximum.at(read_max, rid, log_conprb)
+    # per-read max logit over hits and noise slot (reduceat: hits are
+    # already grouped by read, so no ufunc.at scatter is needed)
+    log_conprb = np.asarray(log_conprb, dtype=np.float64)
+    log_ncp = np.asarray(log_ncp, dtype=np.float64)
+    if H:
+        read_max = np.maximum.reduceat(log_conprb, offs[:-1])
+    else:
+        read_max = np.full(N, -np.inf)
     read_max = np.maximum(read_max, log_ncp)
     safe_max = np.where(np.isfinite(read_max), read_max, 0.0)
-    cps = np.exp(log_conprb - safe_max[rid], dtype=np.float64).astype(np.float32)
+    cps = np.exp(log_conprb - np.repeat(safe_max, nh)).astype(np.float32)
     cps[~np.isfinite(log_conprb)] = 0.0
-    ncs = np.exp(log_ncp - safe_max, dtype=np.float64).astype(np.float32)
+    ncs = np.exp(log_ncp - safe_max).astype(np.float32)
     ncs[~np.isfinite(log_ncp)] = 0.0
 
     # read ordering key: smallest sid among the read's hits (gather locality)
-    min_sid = np.full(N, np.iinfo(np.int64).max)
-    np.minimum.at(min_sid, rid, sid)
+    min_sid = (
+        np.minimum.reduceat(sid, offs[:-1])
+        if H
+        else np.zeros(N, dtype=np.int64)
+    )
 
     if sizes is None:
         sizes = _bucket_sizes(int(nh.max()) if N else 1)
     bucket_of = np.searchsorted(np.asarray(sizes), nh)  # smallest K >= nh
+    stable_rows = forced_rows is None
 
     sid_b, cps_b, ncs_b, restore_read_b = [], [], [], []
     flat_sid_parts, flat_orig_parts = [], []
@@ -158,13 +207,20 @@ def build_fast_data(
             continue
         rsel = rsel[np.argsort(min_sid[rsel], kind="stable")]
         n_k = len(rsel)
-        # pad rows so the flattened bucket is BLOCK-aligned
+        # pad rows so the flattened bucket is BLOCK-aligned; menu-pad for
+        # shape stability across datasets
         if K >= BLOCK:
             assert K % BLOCK == 0
             rows = max(n_k, 1)
         else:
             q = BLOCK // K
             rows = max(-(-n_k // q) * q, q)
+        if stable_rows and n_k:
+            r2 = menu_round(rows)
+            if K < BLOCK:
+                q = BLOCK // K
+                r2 = -(-r2 // q) * q
+            rows = r2
         if forced_rows is not None:
             assert forced_rows[bi] >= rows, (bi, forced_rows[bi], rows)
             rows = forced_rows[bi]
@@ -203,44 +259,56 @@ def build_fast_data(
 
     # regroup hits by (read-slot chunk, sid): per chunk the denominator
     # source is a VMEM-sized RSLICE slice and the sid run structure is
-    # still sorted, so counts = sum of per-chunk segment sums. Padding
-    # (cps 0) is appended per chunk with sid M+1 so it lands past the last
-    # real segment.
+    # still sorted, so counts = sum of per-chunk segment sums. All chunks
+    # are padded (cps 0, sid M+1, past the last real segment) to one
+    # common length L and stacked into [C, L] arrays scanned on device.
     n_chunks = max(1, -(-rows_total // RSLICE))
+    if forced_n_chunks is not None:
+        assert forced_n_chunks >= n_chunks, (forced_n_chunks, n_chunks)
+        n_chunks = forced_n_chunks
     rchunk = flat_rslot // RSLICE
     order = np.lexsort((flat_sid, rchunk))
-    cps_c, rloc_c, sid_starts_c = [], [], []
+    rc_sorted = rchunk[order]
+    chunk_bounds = np.searchsorted(rc_sorted, np.arange(n_chunks + 1))
+    natural_len = max(
+        int(np.diff(chunk_bounds).max()) if n_chunks else 0, BLOCK
+    )
+    L = -(-natural_len // BLOCK) * BLOCK
+    if forced_chunk_len is None:
+        L = -(-menu_round(L) // BLOCK) * BLOCK
+    else:
+        assert forced_chunk_len >= L, (forced_chunk_len, L)
+        L = forced_chunk_len
+    cps_c = np.zeros((n_chunks, L), dtype=np.float32)
+    rloc_c = np.zeros((n_chunks, L), dtype=np.int32)
+    sid_c = np.full((n_chunks, L), M + 1, dtype=np.int32)
     for k in range(n_chunks):
-        sel = order[rchunk[order] == k]
+        sel = order[chunk_bounds[k]:chunk_bounds[k + 1]]
         n = len(sel)
-        npad = (-n) % BLOCK if n else BLOCK
-        sid_k = np.concatenate(
-            [flat_sid[sel], np.full(npad, M + 1, dtype=flat_sid.dtype)]
+        sid_c[k, :n] = flat_sid[sel]
+        cps_c[k, :n] = flat_cps[sel]
+        rloc_c[k, :n] = (flat_rslot[sel] - k * RSLICE).astype(np.int32)
+    sid_starts_c = np.empty((n_chunks, M + 2), dtype=np.int32)
+    for k in range(n_chunks):
+        sid_starts_c[k] = np.searchsorted(sid_c[k], np.arange(M + 2)).astype(
+            np.int32
         )
-        cps_k = _pad_np(flat_cps[sel], n + npad)
-        rloc_k = _pad_np(
-            (flat_rslot[sel] - k * RSLICE).astype(np.int32), n + npad
-        )
-        sid_starts_c.append(jnp.asarray(
-            np.searchsorted(sid_k, np.arange(M + 2)).astype(np.int32)
-        ))
-        cps_c.append(jnp.asarray(cps_k))
-        rloc_c.append(jnp.asarray(rloc_k))
 
     # original hit -> flat slot (for final posterior weights)
     restore_hit = np.empty(H, dtype=np.int64)
     valid = flat_orig >= 0
     restore_hit[flat_orig[valid]] = np.nonzero(valid)[0]
 
+    conv = jnp.asarray if device_put else np.asarray
     return FastEStepData(
-        sid_b=tuple(jnp.asarray(t) for t in sid_b),
-        cps_b=tuple(jnp.asarray(t) for t in cps_b),
-        ncs_b=tuple(jnp.asarray(t) for t in ncs_b),
-        cps_c=tuple(cps_c),
-        rloc_c=tuple(rloc_c),
-        sid_starts_c=tuple(sid_starts_c),
+        sid_b=tuple(conv(t) for t in sid_b),
+        cps_b=tuple(conv(t) for t in cps_b),
+        ncs_b=tuple(conv(t) for t in ncs_b),
+        cps_c=conv(cps_c),
+        rloc_c=conv(rloc_c),
+        sid_starts_c=conv(sid_starts_c),
         rows_pad=n_chunks * RSLICE,
-        restore_hit=jnp.asarray(restore_hit.astype(np.int32)),
+        restore_hit=conv(restore_hit.astype(np.int32)),
         restore_read_b=tuple(restore_read_b),
         n_reads=N,
         M=M,
@@ -250,45 +318,43 @@ def build_fast_data(
 
 def gather_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Fast TPU gather: widen x to [len, G] rows, row-gather, reduce back.
-    Large index arrays are split into IDX_CHUNK pieces — on VMEM-resident
-    source tables the split gathers pipeline ~1.7x faster than one big one."""
+    Large index arrays are split into IDX_CHUNK pieces via lax.map (one
+    traced body, sequential steps) — on VMEM-resident source tables the
+    split gathers pipeline ~1.7x faster than one big one."""
     xw = jnp.broadcast_to(x[:, None] * (1.0 / GATHER_W), (x.shape[0], GATHER_W))
     n = idx.shape[0]
-    if n <= IDX_CHUNK or n % IDX_CHUNK:
-        nc = n // IDX_CHUNK
-        head = nc * IDX_CHUNK
-        if nc >= 2:
-            parts = [xw[c].sum(axis=1)
-                     for c in jnp.split(idx[:head], nc)] + [
-                         xw[idx[head:]].sum(axis=1)]
-            return jnp.concatenate(parts)
+    if n <= 2 * IDX_CHUNK:
         return xw[idx].sum(axis=1)
-    parts = [xw[c].sum(axis=1) for c in jnp.split(idx, n // IDX_CHUNK)]
-    return jnp.concatenate(parts)
+    nc = -(-n // IDX_CHUNK)
+    idx_p = jnp.pad(idx, (0, nc * IDX_CHUNK - n)).reshape(nc, IDX_CHUNK)
+    ys = jax.lax.map(lambda c: xw[c].sum(axis=1), idx_p)
+    return ys.reshape(-1)[:n]
 
 
-def sum64(v: jnp.ndarray) -> jnp.ndarray:
-    """Accurate scalar sum: f32 block sums (short, tree-reduced) + f64 total.
-    Keeps float64 off large arrays (f64 is software-emulated on TPU)."""
+def sum64(v: jnp.ndarray):
+    """Accurate scalar sum as a double-float pair: f32 block sums (short,
+    tree-reduced) + dd total. No float64 anywhere — f64 on TPU is emulated
+    and enabling x64 globally poisons unrelated index math (ops/ddsum)."""
     n = v.shape[0]
     nb = -(-n // BLOCK)
     v2 = jnp.pad(v, (0, nb * BLOCK - n)).reshape(nb, BLOCK)
-    return jnp.sum(v2.sum(axis=1).astype(jnp.float64))
+    return dd_sum(v2.sum(axis=1))
 
 
 def seg_sum_sorted(v: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
     """Segment sums of v (len multiple of BLOCK) at sorted boundaries.
 
-    Two-level: in-block f32 prefix (short sums, accurate) + cross-block f64
-    cumsum (exact to ~1e-9 of total). Only the [nb]-sized block level is
-    float64 — f64 on TPU is emulated, so it must never touch [H]-sized
-    arrays."""
+    Two-level: in-block f32 prefix (short sums, accurate) + cross-block
+    double-float cumsum (~1e-14 relative, ops/ddsum). The boundary
+    difference is taken in dd so adjacent-boundary cancellation recovers
+    the bits a plain f32 subtraction of large cumsums would lose. No f64:
+    TPU f64 is emulated and the global x64 flag poisons index math."""
     nb = v.shape[0] // BLOCK
     v2 = v.reshape(nb, BLOCK)
-    block_sums = v2.sum(axis=1).astype(jnp.float64)
-    cs_blocks = jnp.concatenate(
-        [jnp.zeros(1, jnp.float64), jnp.cumsum(block_sums)]
-    )
+    cs_hi, cs_lo = dd_cumsum(v2.sum(axis=1))
+    z = jnp.zeros(1, v.dtype)
+    cs_hi = jnp.concatenate([z, cs_hi])
+    cs_lo = jnp.concatenate([z, cs_lo])
     pre = jnp.cumsum(v2, axis=1)  # [nb, BLOCK] f32 within-block prefix
     blk = starts // BLOCK
     off = starts % BLOCK
@@ -296,9 +362,10 @@ def seg_sum_sorted(v: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
         off > 0,
         pre[jnp.clip(blk, 0, nb - 1), jnp.maximum(off - 1, 0)],
         0.0,
-    ).astype(jnp.float64)
-    cs_at = cs_blocks[jnp.clip(blk, 0, nb)] + within
-    return (cs_at[1:] - cs_at[:-1]).astype(jnp.float32)
+    )
+    bix = jnp.clip(blk, 0, nb)
+    at_hi, at_lo = dd_add_f32((cs_hi[bix], cs_lo[bix]), within)
+    return dd_diff_f32(at_hi[1:], at_lo[1:], at_hi[:-1], at_lo[:-1])
 
 
 def _bucket_denoms(theta: jnp.ndarray, data: FastEStepData):
@@ -319,7 +386,7 @@ def _bucket_denoms(theta: jnp.ndarray, data: FastEStepData):
     invd = jnp.concatenate(inv_parts) if len(inv_parts) > 1 else inv_parts[0]
     noise = noise_terms[0]
     for t in noise_terms[1:]:
-        noise = noise + t
+        noise = dd_add(noise, t)
     return invd, noise, tiles
 
 
@@ -336,25 +403,32 @@ def fast_theta_round(
     counts_m = theta_m * sum_{hits of m} cps / denom(read): theta factors
     out of the per-transcript sum, so the segment sum runs over static
     (cps, read-slot) arrays and no per-round array ever needs permuting —
-    the only cross-layout op is the invd gather, chunked so each chunk
-    reads a VMEM-sized slice of the denominator table."""
+    the only cross-layout op is the invd gather, scanned chunk-by-chunk so
+    each step reads a VMEM-sized slice of the denominator table."""
     invd, noise, _ = _bucket_denoms(theta, data)
-    rows_pad = len(data.cps_c) * RSLICE  # static (tuple length, not a leaf)
-    invd = jnp.pad(invd, (0, rows_pad - invd.shape[0]))
-    counts_sum = None
-    for k, (cps_k, rloc_k, starts_k) in enumerate(
-        zip(data.cps_c, data.rloc_c, data.sid_starts_c)
-    ):
-        sl = jax.lax.slice(invd, (k * RSLICE,), ((k + 1) * RSLICE,))
+    n_chunks = data.cps_c.shape[0]
+    rows_pad = n_chunks * RSLICE  # static (array dim, not a leaf)
+    invd = jnp.pad(invd, (0, rows_pad - invd.shape[0])).reshape(
+        n_chunks, RSLICE
+    )
+
+    def body(acc, xs):
+        cps_k, rloc_k, starts_k, sl = xs
         u = cps_k * gather_rows(sl, rloc_k)
-        part = seg_sum_sorted(u, starts_k)
-        counts_sum = part if counts_sum is None else counts_sum + part
+        return acc + seg_sum_sorted(u, starts_k), None
+
+    counts_sum, _ = jax.lax.scan(
+        body,
+        jnp.zeros_like(theta),  # [M+1]; data.M may be a tracer under jit
+        (data.cps_c, data.rloc_c, data.sid_starts_c, invd),
+    )
     if axis_name is not None:
         counts_sum = jax.lax.psum(counts_sum, axis_name)
-        noise = jax.lax.psum(noise, axis_name)
+        noise = (jax.lax.psum(noise[0], axis_name),
+                 jax.lax.psum(noise[1], axis_name))
     counts_t = counts_sum * theta  # [M+1]
-    counts = counts_t.at[0].set(noise.astype(jnp.float32) + data.n0)
-    theta_new = counts / jnp.sum(counts.astype(jnp.float64)).astype(jnp.float32)
+    counts = counts_t.at[0].set(dd_to_f32(noise) + data.n0)
+    theta_new = counts / dd_to_f32(dd_sum(counts))
     return theta_new, counts
 
 

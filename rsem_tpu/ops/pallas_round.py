@@ -41,6 +41,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import MAX_ROUND, MIN_ROUND, STOP_CRITERIA, THETA_CUT
+from ..utils.jaxinit import configure as _configure_jax
+from .ddsum import dd_add_f32, dd_sum, dd_to_f32
 
 try:  # pallas imports fail gracefully on backends without Mosaic
     from jax.experimental import pallas as pl
@@ -80,15 +82,19 @@ def scale_conprbs(hits, log_conprb: np.ndarray, log_ncp: np.ndarray):
     """Per-read max-logit scaling at freeze time so linear f32 never
     underflows (shared with fast_estep.build_fast_data)."""
     N = hits.n_reads
-    nh = np.diff(hits.read_offsets.astype(np.int64))
-    rid = np.repeat(np.arange(N, dtype=np.int64), nh)
-    read_max = np.full(N, -np.inf)
-    np.maximum.at(read_max, rid, log_conprb)
+    offs = hits.read_offsets.astype(np.int64)
+    nh = np.diff(offs)
+    log_conprb = np.asarray(log_conprb, dtype=np.float64)
+    log_ncp = np.asarray(log_ncp, dtype=np.float64)
+    if hits.n_hits:
+        read_max = np.maximum.reduceat(log_conprb, offs[:-1])
+    else:
+        read_max = np.full(N, -np.inf)
     read_max = np.maximum(read_max, log_ncp)
     safe_max = np.where(np.isfinite(read_max), read_max, 0.0)
-    cps = np.exp(log_conprb - safe_max[rid], dtype=np.float64).astype(np.float32)
+    cps = np.exp(log_conprb - np.repeat(safe_max, nh)).astype(np.float32)
     cps[~np.isfinite(log_conprb)] = 0.0
-    ncs = np.exp(log_ncp - safe_max, dtype=np.float64).astype(np.float32)
+    ncs = np.exp(log_ncp - safe_max).astype(np.float32)
     ncs[~np.isfinite(log_ncp)] = 0.0
     return cps, ncs, nh
 
@@ -98,6 +104,7 @@ def build_pallas_data(
 ) -> PallasRoundData:
     """Host-side layout build after conprb freeze (analogue of
     fast_estep.build_fast_data for the fused kernel)."""
+    _configure_jax()
     H = hits.n_hits
     N = hits.n_reads
     sid = hits.sid.astype(np.int64)
@@ -124,9 +131,14 @@ def build_pallas_data(
         n_k = len(rsel)
         rows_per_tile = ROWS_BIGK if K > 128 else ROWS_SMALLK
         slots_per_tile = rows_per_tile * 128
-        # rows of reads such that total slots is a tile multiple
+        # rows of reads such that total slots is a tile multiple;
+        # menu-round the tile count so jit signatures (and the persistent
+        # compilation cache) stay stable across datasets of similar scale
+        from .fast_estep import menu_round
+
         reads_per_tile = max(slots_per_tile // K, 1)
-        n_rows = -(-n_k // reads_per_tile) * reads_per_tile
+        n_tiles = menu_round(-(-n_k // reads_per_tile))
+        n_rows = n_tiles * reads_per_tile
         sid_m = np.zeros((n_rows, K), dtype=np.int32)
         cps_m = np.zeros((n_rows, K), dtype=np.float32)
         orig_m = np.full((n_rows, K), -1, dtype=np.int64)
@@ -336,16 +348,18 @@ def pallas_theta_round(
     th0 = theta[0:1]
 
     contrib_sum = None
-    noise = jnp.float64(0.0) if jax.config.jax_enable_x64 else jnp.float32(0.0)
+    # noise across buckets in double-float (the kernel already Kahan-
+    # compensates within a bucket); no f64 — see ops/ddsum
+    noise = (jnp.float32(0.0), jnp.float32(0.0))
     for sid2d, cps2d, ncs2d, K in zip(data.sid_t, data.cps_t, data.ncs_t, data.ks):
         contrib, nz = _bucket_call(sid2d, cps2d, ncs2d, table, th0, K,
                                    t_rows, interpret=interpret)
         contrib_sum = contrib if contrib_sum is None else contrib_sum + contrib
-        noise = noise + nz
+        noise = dd_add_f32(noise, nz)
     counts_sum = contrib_sum.reshape(-1)[: M + 1]
     counts_t = counts_sum * theta
-    counts = counts_t.at[0].set(noise.astype(jnp.float32) + data.n0)
-    theta_new = counts / jnp.sum(counts.astype(jnp.float64)).astype(jnp.float32)
+    counts = counts_t.at[0].set(dd_to_f32(noise) + data.n0)
+    theta_new = counts / dd_to_f32(dd_sum(counts))
     return theta_new, counts
 
 

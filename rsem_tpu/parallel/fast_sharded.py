@@ -47,14 +47,16 @@ class _HitsView(NamedTuple):
 
 
 class FastShardLeaves(NamedTuple):
-    """Device arrays of the per-shard fast E-step data, stacked [D, ...]."""
+    """Device arrays of the per-shard fast E-step data, stacked [D, ...].
+    The bucket tiles stay per-bucket tuples (ragged K); the sid-sorted hit
+    chunks are single [D, C, L] arrays (fast_estep stacks chunks)."""
 
     sid_b: Tuple[jnp.ndarray, ...]
     cps_b: Tuple[jnp.ndarray, ...]
     ncs_b: Tuple[jnp.ndarray, ...]
-    cps_c: Tuple[jnp.ndarray, ...]
-    rloc_c: Tuple[jnp.ndarray, ...]
-    sid_starts_c: Tuple[jnp.ndarray, ...]
+    cps_c: jnp.ndarray
+    rloc_c: jnp.ndarray
+    sid_starts_c: jnp.ndarray
 
 
 class ShardedFastData:
@@ -117,23 +119,37 @@ def build_fast_data_sharded(
         )
         shards.append(
             build_fast_data(view, log_conprb[hlo:hhi], log_ncp[lo:hi], M,
-                            n0, sizes=sizes, forced_rows=forced)
+                            n0, sizes=sizes, forced_rows=forced,
+                            device_put=False)
         )
 
-    def stack(field: str) -> Tuple[jnp.ndarray, ...]:
+    # identical rows per bucket across shards => identical chunk count;
+    # pad the per-shard chunk stacks to a common L before stacking
+    # (padding is cps 0 / rloc 0, which lands in no real segment)
+    L = max(s.cps_c.shape[1] for s in shards)
+    assert len({s.cps_c.shape[0] for s in shards}) == 1
+
+    def padL(x: np.ndarray) -> np.ndarray:
+        if x.shape[1] == L:
+            return x
+        return np.pad(x, ((0, 0), (0, L - x.shape[1])))
+
+    def stack_tiles(field: str) -> Tuple[jnp.ndarray, ...]:
         tuples = [getattr(s, field) for s in shards]
         return tuple(
             jnp.stack([t[i] for t in tuples]) for i in range(len(tuples[0]))
         )
 
     leaves = FastShardLeaves(
-        sid_b=stack("sid_b"), cps_b=stack("cps_b"), ncs_b=stack("ncs_b"),
-        cps_c=stack("cps_c"), rloc_c=stack("rloc_c"),
-        sid_starts_c=stack("sid_starts_c"),
+        sid_b=stack_tiles("sid_b"), cps_b=stack_tiles("cps_b"),
+        ncs_b=stack_tiles("ncs_b"),
+        cps_c=jnp.stack([padL(s.cps_c) for s in shards]),
+        rloc_c=jnp.stack([padL(s.rloc_c) for s in shards]),
+        sid_starts_c=jnp.stack([s.sid_starts_c for s in shards]),
     )
     restore = [(s.restore_hit, s.restore_read_b) for s in shards]
     return ShardedFastData(leaves, M, float(n0), bounds, hit_bounds, restore,
-                           n_chunks=len(shards[0].cps_c))
+                           n_chunks=int(shards[0].cps_c.shape[0]))
 
 
 def _local_data(leaves: FastShardLeaves, M: int, n0: float,
@@ -143,8 +159,8 @@ def _local_data(leaves: FastShardLeaves, M: int, n0: float,
     sq = lambda tt: tuple(x[0] for x in tt)
     return FastEStepData(
         sid_b=sq(leaves.sid_b), cps_b=sq(leaves.cps_b), ncs_b=sq(leaves.ncs_b),
-        cps_c=sq(leaves.cps_c), rloc_c=sq(leaves.rloc_c),
-        sid_starts_c=sq(leaves.sid_starts_c),
+        cps_c=leaves.cps_c[0], rloc_c=leaves.rloc_c[0],
+        sid_starts_c=leaves.sid_starts_c[0],
         rows_pad=n_chunks * RSLICE, restore_hit=None, restore_read_b=(),
         n_reads=0, M=M, n0=n0,
     )
@@ -199,9 +215,9 @@ def fast_final_fracs_sharded(theta: jnp.ndarray, sd: ShardedFastData):
             sid_b=tuple(t[d] for t in sd.leaves.sid_b),
             cps_b=tuple(t[d] for t in sd.leaves.cps_b),
             ncs_b=tuple(t[d] for t in sd.leaves.ncs_b),
-            cps_c=tuple(t[d] for t in sd.leaves.cps_c),
-            rloc_c=tuple(t[d] for t in sd.leaves.rloc_c),
-            sid_starts_c=tuple(t[d] for t in sd.leaves.sid_starts_c),
+            cps_c=sd.leaves.cps_c[d],
+            rloc_c=sd.leaves.rloc_c[d],
+            sid_starts_c=sd.leaves.sid_starts_c[d],
             rows_pad=sd.n_chunks * RSLICE, restore_hit=restore_hit,
             restore_read_b=restore_read_b,
             n_reads=int(sd.bounds[d + 1] - sd.bounds[d]), M=sd.M, n0=sd.n0,

@@ -50,18 +50,16 @@ def synthetic_arrays_fast(
     ref.offsets = np.zeros(M + 2, dtype=np.int64)
     np.cumsum(ref.tot_len, out=ref.offsets[1:])
 
+    n_hits_per = 1 + rng.poisson(mean_extra_hits, size=n_reads)
     if skewed_hits:
         # realistic skew (SURVEY §5 "long-context" axes): most reads map
         # 1-4 places, a heavy tail multimaps up to the reference's bowtie
         # -m 200 cap (rsem-calculate-expression:40)
-        n_hits_per = 1 + rng.poisson(mean_extra_hits, size=n_reads)
         tail = rng.random(n_reads) < 0.05
         n_hits_per[tail] = np.clip(
             np.exp(rng.uniform(np.log(4), np.log(200), size=int(tail.sum()))),
             4, 200,
         ).astype(n_hits_per.dtype)
-    else:
-        n_hits_per = 1 + rng.poisson(mean_extra_hits, size=n_reads)
     H = int(n_hits_per.sum())
     rid = np.repeat(np.arange(n_reads, dtype=np.int32), n_hits_per)
     sid = rng.integers(1, M + 1, size=H).astype(np.int32)

@@ -157,8 +157,6 @@ def test_ci_parity_on_reference_countvectors():
     i_lb = ghdr.index("TPM_ci_lower_bound")
     i_ub = ghdr.index("TPM_ci_upper_bound")
     i_cqv = ghdr.index("TPM_coefficient_of_quartile_variation")
-    order, _ = _read_table(f"{GOLD}/golden.isoforms.results")
-    tid_rows = sorted(gold.keys())
     # transcripts indexed 1..M in .ti order = golden results row order
     tid_order = [r.split("\t")[0] for r in
                  open(f"{GOLD}/golden_ci.isoforms.results").read().splitlines()[1:]]

@@ -100,7 +100,7 @@ def test_pallas_falls_back_beyond_table_limit(big_problem):
     the XLA path, not fail."""
     from rsem_tpu.ops import pallas_round
 
-    assert 200_000 > pallas_round.MAX_M_FOR_PALLAS or True
+    assert 200_000 > pallas_round.MAX_M_FOR_PALLAS
     assert not pallas_round.pallas_supported(200_000)
 
 

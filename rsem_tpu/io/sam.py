@@ -365,6 +365,9 @@ def _check_cigar(rec: SamRecord) -> bool:
 def _padded_from_flat(flat: np.ndarray, lens: np.ndarray, L: int) -> np.ndarray:
     """[sum(lens)] flat payload -> [N, L] zero-padded matrix (vectorized)."""
     n = len(lens)
+    if n and flat.size == n * L:
+        # uniform read length: the flat payload IS the matrix (zero-copy)
+        return flat.reshape(n, L)
     mat = np.zeros((n, L), dtype=np.uint8)
     mask = np.arange(L)[None, :] < lens[:, None]
     mat[mask] = flat
@@ -380,52 +383,43 @@ def _assemble_native(
 ) -> AlignmentBundle:
     """Build the AlignmentBundle from the native sidecar's flat arrays;
     byte-identical to the Python record loop (tests/test_native_ingest.py)."""
-    from .reads import calc_low_quality
-
     paired = read_type >= 2
     has_qual = read_type in (1, 3)
-    stats = {i: ReadStats() for i in range(3)}
 
-    # unaligned categories -> streaming stats (batched)
-    for cat, c in ((0, res.cat0), (2, res.cat2)):
-        if c.n == 0:
-            continue
-        L1 = int(c.len1.max()) if c.n else 1
-        codes1 = _padded_from_flat(c.seq1, c.len1, L1)
-        q1 = _padded_from_flat(c.qual1, c.len1, L1) if has_qual else None
-        lq1 = calc_low_quality(codes1, c.len1, has_polya, seed_len)
-        if paired:
-            L2 = int(c.len2.max()) if c.n else 1
-            codes2 = _padded_from_flat(c.seq2, c.len2, L2)
-            q2 = _padded_from_flat(c.qual2, c.len2, L2) if has_qual else None
-            lq2 = calc_low_quality(codes2, c.len2, has_polya, seed_len)
-            lq = (lq1 & lq2) | (c.len1 < seed_len) | (c.len2 < seed_len)
-            stats[cat].add_reads(codes1, c.len1, q1, lq, cat == 0)
-            stats[cat].add_reads(codes2, c.len2, q2, lq, cat == 0)
-        else:
-            stats[cat].add_reads(codes1, c.len1, q1, lq1, cat == 0)
+    # per-category streaming stats: computed by the C++ walker alongside
+    # the record parse (bamparse.cpp stat_add_mate; exact ReadStats
+    # semantics, parity-pinned in tests/test_native_ingest.py)
+    stats = {}
+    for cat in range(3):
+        st = ReadStats()
+        ns = res.stats[cat]
+        need = int(np.flatnonzero(ns.len_counts).max(initial=0))
+        st._grow(need)
+        st.len_counts[: len(ns.len_counts[: need + 1])] = ns.len_counts[
+            : need + 1
+        ].astype(np.float64)
+        st.q_init = ns.q_init.astype(np.float64)
+        st.q_tran = ns.q_tran.astype(np.float64)
+        st.noise = ns.noise.astype(np.float64)
+        st.n_reads = int(ns.n_reads)
+        stats[cat] = st
 
-    # N1 reads
+    # N1 reads (low-quality flags also from the walker)
     n1 = res.n1
     L1 = int(res.len1.max()) if n1 else 1
     codes1 = _padded_from_flat(res.seq1, res.len1, L1)
     quals1 = _padded_from_flat(res.qual1, res.len1, L1) if has_qual else None
     lens1 = res.len1.astype(np.int32)
-    lq1 = calc_low_quality(codes1, lens1, has_polya, seed_len)
-    m1 = ReadArrays(codes1, lens1, quals1, lq1)
+    m1 = ReadArrays(codes1, lens1, quals1, res.lq1.astype(bool))
     if paired:
         L2 = int(res.len2.max()) if n1 else 1
         codes2 = _padded_from_flat(res.seq2, res.len2, L2)
         quals2 = _padded_from_flat(res.qual2, res.len2, L2) if has_qual else None
         lens2 = res.len2.astype(np.int32)
-        lq2 = calc_low_quality(codes2, lens2, has_polya, seed_len)
-        m2 = ReadArrays(codes2, lens2, quals2, lq2)
+        m2 = ReadArrays(codes2, lens2, quals2, res.lq2.astype(bool))
         reads = PairedReadArrays.build(m1, m2, seed_len)
-        stats[1].add_reads(m1.codes, m1.lens, m1.quals, reads.lq, False)
-        stats[1].add_reads(m2.codes, m2.lens, m2.quals, reads.lq, False)
     else:
         reads = m1
-        stats[1].add_reads(m1.codes, m1.lens, m1.quals, m1.lq, False)
 
     # hits CSR
     nh = res.nh.astype(np.int64)
@@ -450,7 +444,7 @@ def _assemble_native(
         N2=res.cat2.n,
         n_unique=0,
         n_multi=0,
-        n_iso_multi=hits.n_isoform_multi_reads(),
+        n_iso_multi=res.n_iso_multi,
         n_hits=hits.n_hits,
         read_type=read_type,
         hist=hist,
@@ -520,7 +514,8 @@ def parse_alignments(
         from ..native.bamparse import parse_bam_native
 
         res = parse_bam_native(
-            path, paired, has_qual, e2i, target_lens, filter_tag
+            path, paired, has_qual, e2i, target_lens, filter_tag,
+            has_polya=has_polya, seed_len=seed_len,
         )
         if res is not None:
             reader.close()

@@ -22,6 +22,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <cmath>
 #include <string>
 #include <thread>
 #include <vector>
@@ -51,9 +52,31 @@ struct CatArrays {
   int64_t n = 0;
 };
 
+// per-category streaming read statistics (mirrors io/reads.py ReadStats:
+// length histogram, quality Markov-chain counts, noise base counts over
+// non-low-quality reads; reference: estimateFromReads,
+// SingleModel.h:273-315). MAXL bounds read length (reference maxL=1000).
+constexpr int STAT_MAXL = 4096;
+constexpr int STAT_QSIZE = 100;
+constexpr int STAT_NCODES = 5;
+
+struct CatStats {
+  std::vector<int64_t> len_counts;           // [STAT_MAXL+1]
+  std::vector<int64_t> q_init;               // [QSIZE]
+  std::vector<int64_t> q_tran;               // [QSIZE*QSIZE]
+  std::vector<int64_t> noise;                // [QSIZE*NCODES]
+  int64_t n_reads = 0;
+  CatStats()
+      : len_counts(STAT_MAXL + 1, 0), q_init(STAT_QSIZE, 0),
+        q_tran(STAT_QSIZE * STAT_QSIZE, 0),
+        noise(STAT_QSIZE * STAT_NCODES, 0) {}
+};
+
 struct Parser {
   // config
   bool paired = false, has_qual = false;
+  bool has_polya = false;
+  int seed_len = 25;
   std::vector<int32_t> e2i;        // [n_targets] external tid -> internal sid
   std::vector<int64_t> target_len; // [n_targets]
   char ftag[2] = {0, 0};
@@ -66,10 +89,57 @@ struct Parser {
   std::vector<int32_t> hit_sid;                  // signed (sign = strand)
   std::vector<int32_t> hit_pos;                  // strand-local 0-based
   std::vector<int32_t> hit_ins;                  // fragment length (paired)
+  std::vector<uint8_t> lq1_flags, lq2_flags;     // per-mate low-quality (N1)
   CatArrays cat0, cat2;
+  CatStats st[3];  // index = read category (0/1/2)
+  int64_t n_iso_multi = 0;  // N1 reads spanning >1 distinct isoform
 
   std::string err;
 };
+
+// poly(A)-artifact low-quality rule, exact mirror of
+// io/reads.py calc_low_quality (reference: SingleReadQ.h:63-95)
+bool calc_lq(const std::vector<uint8_t> &s, bool has_polya, int seed_len) {
+  int64_t l = (int64_t)s.size();
+  if (l < seed_len) return true;
+  if (!has_polya) return false;
+  constexpr int OLEN = 25;
+  int64_t numA = 0, numT = 0, numAO = 0, numTO = 0;
+  for (int64_t j = 0; j < l; j++) {
+    if (s[j] == 0) {
+      numA++;
+      if (j < OLEN) numAO++;
+    } else if (s[j] == 3) {
+      numT++;
+      if (j >= l - OLEN) numTO++;
+    }
+  }
+  int64_t t1 =
+      (int64_t)(0.9 * (double)l - 1.5 * std::sqrt((double)l) + 0.5);
+  int64_t t2 = (OLEN - 1) / 2 + 1;
+  bool a_art = (numA >= t1) && (numAO >= t2);
+  bool t_art = (numA < t1) && (numT >= t1) && (numTO >= t2);
+  return a_art || t_art;
+}
+
+// one mate's contribution to a category's stats (io/reads.py add_reads)
+void stat_add_mate(CatStats &st, const std::vector<uint8_t> &s,
+                   const std::vector<uint8_t> &q, bool has_qual,
+                   bool collect_noise) {
+  int64_t l = (int64_t)s.size();
+  st.n_reads++;
+  if (l <= STAT_MAXL) st.len_counts[l]++;
+  if (has_qual && l > 0) {
+    st.q_init[q[0]]++;
+    for (int64_t j = 1; j < l; j++)
+      st.q_tran[(int64_t)q[j - 1] * STAT_QSIZE + q[j]]++;
+    if (collect_noise)
+      for (int64_t j = 0; j < l; j++)
+        st.noise[(int64_t)q[j] * STAT_NCODES + s[j]]++;
+  } else if (collect_noise) {
+    for (int64_t j = 0; j < l; j++) st.noise[s[j]]++;
+  }
+}
 
 struct RawRecord {
   const uint8_t *p; // start of the fixed 32-byte core
@@ -386,6 +456,28 @@ public:
 
   bool flush() {
     if (cur.val < 0) return true;
+    // low-quality flags + per-category streaming stats
+    bool lq1 = calc_lq(cur.s1, P->has_polya, P->seed_len);
+    bool lq2 = P->paired ? calc_lq(cur.s2, P->has_polya, P->seed_len) : false;
+    bool lq = P->paired
+                  ? ((lq1 && lq2) || (int64_t)cur.s1.size() < P->seed_len ||
+                     (int64_t)cur.s2.size() < P->seed_len)
+                  : lq1;
+    if ((size_t)cur.s1.size() > STAT_MAXL ||
+        (P->paired && (size_t)cur.s2.size() > STAT_MAXL)) {
+      P->err = "read longer than 4096 bases";
+      return false;
+    }
+    if (!lq) {
+      CatStats &st = P->st[cur.val];
+      bool noise = (cur.val == 0);
+      stat_add_mate(st, cur.s1, cur.q1, P->has_qual, noise);
+      if (P->paired) stat_add_mate(st, cur.s2, cur.q2, P->has_qual, noise);
+    }
+    if (cur.val == 1) {
+      P->lq1_flags.push_back(lq1 ? 1 : 0);
+      if (P->paired) P->lq2_flags.push_back(lq2 ? 1 : 0);
+    }
     if (cur.val == 1) {
       P->len1.push_back((int32_t)cur.s1.size());
       P->seq1.insert(P->seq1.end(), cur.s1.begin(), cur.s1.end());
@@ -398,6 +490,14 @@ public:
           P->qual2.insert(P->qual2.end(), cur.q2.begin(), cur.q2.end());
       }
       P->nh.push_back((int32_t)cur.hits.size());
+      // reads whose hits span >1 distinct isoform (HitContainer.h:
+      // calcNumIsoformMultiReads; strand sign excluded from the key)
+      int32_t first = cur.hits.empty() ? 0 : std::abs(cur.hits[0][0]);
+      for (auto &h : cur.hits)
+        if (std::abs(h[0]) != first) {
+          P->n_iso_multi++;
+          break;
+        }
       for (auto &h : cur.hits) {
         P->hit_sid.push_back(h[0]);
         P->hit_pos.push_back(h[1]);
@@ -560,6 +660,7 @@ extern "C" {
 void *bamparse_run(const char *path, int paired, int has_qual,
                    const int32_t *e2i, const int64_t *target_lens,
                    int n_targets, const char *filter_tag, int n_threads,
+                   int has_polya, int seed_len,
                    char *errbuf, int errbuf_len) {
   auto fail = [&](const std::string &msg) -> void * {
     std::snprintf(errbuf, errbuf_len, "%s", msg.c_str());
@@ -621,6 +722,8 @@ void *bamparse_run(const char *path, int paired, int has_qual,
   Parser &P = h->P;
   P.paired = paired != 0;
   P.has_qual = has_qual != 0;
+  P.has_polya = has_polya != 0;
+  P.seed_len = seed_len;
   P.e2i.assign(e2i, e2i + n_targets);
   P.target_len.assign(target_lens, target_lens + n_targets);
   if (filter_tag && filter_tag[0] && filter_tag[1]) {
@@ -689,7 +792,7 @@ void *bamparse_run(const char *path, int paired, int has_qual,
 //  0: N1            1: n_hits        2: seq1_total    3: seq2_total
 //  4: cat0.n        5: cat0 seq1 tot 6: cat0 seq2 tot
 //  7: cat2.n        8: cat2 seq1 tot 9: cat2 seq2 tot
-// 10..17: reserved 0
+// 10: n_iso_multi   11..17: reserved 0
 void bamparse_sizes(void *vh, int64_t *sizes) {
   Parser &P = ((Handle *)vh)->P;
   sizes[0] = (int64_t)P.len1.size();
@@ -702,7 +805,8 @@ void bamparse_sizes(void *vh, int64_t *sizes) {
   sizes[7] = P.cat2.n;
   sizes[8] = (int64_t)P.cat2.seq1.size();
   sizes[9] = (int64_t)P.cat2.seq2.size();
-  for (int i = 10; i < 18; i++) sizes[i] = 0;
+  sizes[10] = P.n_iso_multi;
+  for (int i = 11; i < 18; i++) sizes[i] = 0;
 }
 
 static void copy32(const std::vector<int32_t> &v, int32_t *dst) {
@@ -740,6 +844,35 @@ void bamparse_export_cat(void *vh, int cat, uint8_t *seq1, uint8_t *qual1,
   copy8(c.seq2, seq2);
   copy8(c.qual2, qual2);
   copy32(c.len2, len2);
+}
+
+// per-mate low-quality flags of the N1 reads (uint8 0/1); lq2 may be NULL
+// for single-end
+void bamparse_export_lq(void *vh, uint8_t *lq1, uint8_t *lq2) {
+  Parser &P = ((Handle *)vh)->P;
+  copy8(P.lq1_flags, lq1);
+  if (lq2) copy8(P.lq2_flags, lq2);
+}
+
+// one category's streaming stats, packed as int64:
+//   [0]                n_reads (non-lq mate additions)
+//   [1 .. MAXL+1]      len_counts (length histogram, index = length)
+//   [.. +QSIZE]        q_init
+//   [.. +QSIZE*QSIZE]  q_tran (row-major)
+//   [.. +QSIZE*NCODES] noise
+// total = 1 + (STAT_MAXL+1) + 100 + 10000 + 500 int64s
+void bamparse_export_stats(void *vh, int cat, int64_t *out) {
+  Parser &P = ((Handle *)vh)->P;
+  CatStats &st = P.st[cat];
+  int64_t *p = out;
+  *p++ = st.n_reads;
+  std::memcpy(p, st.len_counts.data(), st.len_counts.size() * 8);
+  p += st.len_counts.size();
+  std::memcpy(p, st.q_init.data(), st.q_init.size() * 8);
+  p += st.q_init.size();
+  std::memcpy(p, st.q_tran.data(), st.q_tran.size() * 8);
+  p += st.q_tran.size();
+  std::memcpy(p, st.noise.data(), st.noise.size() * 8);
 }
 
 void bamparse_free(void *vh) { delete (Handle *)vh; }

@@ -71,7 +71,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.bamparse_run.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
         _c_i32p, _c_i64p, ctypes.c_int,
-        ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int,
     ]
     lib.bamparse_sizes.restype = None
     lib.bamparse_sizes.argtypes = [ctypes.c_void_p, _c_i64p]
@@ -83,6 +84,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int,
         _c_u8p, _c_u8p, _c_i32p, _c_u8p, _c_u8p, _c_i32p,
     ]
+    lib.bamparse_export_lq.restype = None
+    lib.bamparse_export_lq.argtypes = [ctypes.c_void_p, _c_u8p, _c_u8p]
+    lib.bamparse_export_stats.restype = None
+    lib.bamparse_export_stats.argtypes = [ctypes.c_void_p, ctypes.c_int, _c_i64p]
     lib.bamparse_free.restype = None
     lib.bamparse_free.argtypes = [ctypes.c_void_p]
     _lib = lib
@@ -99,6 +104,25 @@ def _p32(a: Optional[np.ndarray]):
     if a is None or a.size == 0:
         return _c_i32p()
     return a.ctypes.data_as(_c_i32p)
+
+
+STAT_MAXL = 4096
+STAT_QSIZE = 100
+STAT_NCODES = 5
+_STAT_WORDS = 1 + (STAT_MAXL + 1) + STAT_QSIZE + STAT_QSIZE * STAT_QSIZE \
+    + STAT_QSIZE * STAT_NCODES
+
+
+@dataclass
+class NativeStats:
+    """One category's streaming read statistics, computed in the walker
+    (exact mirror of io/reads.py ReadStats.add_reads semantics)."""
+
+    n_reads: int
+    len_counts: np.ndarray  # [STAT_MAXL+1] int64
+    q_init: np.ndarray  # [QSIZE]
+    q_tran: np.ndarray  # [QSIZE, QSIZE]
+    noise: np.ndarray  # [QSIZE, NCODES]
 
 
 @dataclass
@@ -131,6 +155,10 @@ class NativeParse:
     ins: Optional[np.ndarray]
     cat0: CatFlat
     cat2: CatFlat
+    lq1: Optional[np.ndarray] = None  # per-mate low-quality flags (uint8)
+    lq2: Optional[np.ndarray] = None
+    stats: Optional[dict] = None  # {cat: NativeStats}
+    n_iso_multi: int = 0
 
 
 def parse_bam_native(
@@ -141,6 +169,8 @@ def parse_bam_native(
     target_lens: np.ndarray,
     filter_tag: str,
     n_threads: Optional[int] = None,
+    has_polya: bool = False,
+    seed_len: int = 25,
 ) -> Optional[NativeParse]:
     """Run the sidecar; None if the native library is unavailable.
 
@@ -158,7 +188,8 @@ def parse_bam_native(
     h = lib.bamparse_run(
         path.encode(), int(paired), int(has_qual),
         e2i.ctypes.data_as(_c_i32p), target_lens.ctypes.data_as(_c_i64p),
-        len(e2i), tag, int(n_threads), errbuf, len(errbuf),
+        len(e2i), tag, int(n_threads), int(has_polya), int(seed_len),
+        errbuf, len(errbuf),
     )
     if not h:
         raise ValueError(errbuf.value.decode(errors="replace"))
@@ -168,6 +199,7 @@ def parse_bam_native(
         (n1, n_hits, s1_tot, s2_tot, c0n, c0s1, c0s2, c2n, c2s1, c2s2) = (
             int(x) for x in sizes[:10]
         )
+        n_iso_multi = int(sizes[10])
 
         def alloc(n, dtype):
             return np.empty(n, dtype=dtype)
@@ -200,12 +232,30 @@ def parse_bam_native(
             )
             return CatFlat(n, cs1, cq1, cl1, cs2, cq2, cl2)
 
+        lq1 = alloc(n1, np.uint8)
+        lq2 = alloc(n1, np.uint8) if paired else None
+        lib.bamparse_export_lq(h, _p8(lq1), _p8(lq2))
+
+        stats = {}
+        for ci in (0, 1, 2):
+            buf = np.zeros(_STAT_WORDS, dtype=np.int64)
+            lib.bamparse_export_stats(h, ci, buf.ctypes.data_as(_c_i64p))
+            o = 1
+            lc = buf[o:o + STAT_MAXL + 1]; o += STAT_MAXL + 1
+            qi = buf[o:o + STAT_QSIZE]; o += STAT_QSIZE
+            qt = buf[o:o + STAT_QSIZE * STAT_QSIZE].reshape(
+                STAT_QSIZE, STAT_QSIZE); o += STAT_QSIZE * STAT_QSIZE
+            nz = buf[o:o + STAT_QSIZE * STAT_NCODES].reshape(
+                STAT_QSIZE, STAT_NCODES)
+            stats[ci] = NativeStats(int(buf[0]), lc, qi, qt, nz)
+
         return NativeParse(
             n1=n1, seq1=seq1, qual1=qual1, len1=len1,
             seq2=seq2, qual2=qual2, len2=len2,
             nh=nh, sid=sid, pos=pos, ins=ins,
             cat0=cat(0, c0n, c0s1, c0s2),
             cat2=cat(2, c2n, c2s1, c2s2),
+            lq1=lq1, lq2=lq2, stats=stats, n_iso_multi=n_iso_multi,
         )
     finally:
         lib.bamparse_free(h)

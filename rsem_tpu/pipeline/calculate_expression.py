@@ -30,6 +30,25 @@ from ..engine import EMConfig, run_em
 from ..engine.em import write_theta_file
 from ..engine.gibbs import GibbsConfig, run_gibbs
 from ..engine.ci import CIConfig, run_ci
+from ..parallel.distributed import maybe_initialize as _maybe_init_distributed
+
+
+def _production_mesh(n_chains: int):
+    """Mesh for the posterior stages when >1 device is visible (the
+    reference parallelizes Gibbs chains / CI samples across threads in
+    production, Gibbs.cpp:207-254, calcCI.cpp:404-420). None on a single
+    device or when the chain count does not tile the mesh."""
+    import jax
+
+    try:
+        n_dev = len(jax.devices())
+    except RuntimeError:
+        return None
+    if n_dev <= 1 or n_chains % n_dev:
+        return None
+    from ..parallel.mesh import make_mesh
+
+    return make_mesh(n_dev)
 from ..io import parse_alignments
 from ..io.results import (
     ALLELE_TITLE_PME,
@@ -153,6 +172,7 @@ def calculate_expression(
     """alignments: SAM/BAM of transcript alignments (the --alignments path;
     external aligner execution is up to the caller / `main`)."""
     cfg = cfg or ExpressionConfig()
+    _maybe_init_distributed()  # multi-host entry (env-triggered; no-op else)
     t_start = time.time()
     from ..utils.timing import StageTimer, maybe_profile
 
@@ -253,10 +273,12 @@ def calculate_expression(
             seed=seeds[1] if seeds[1] is not None else 0,
             keep_countvectors=cfg.calc_ci,
         )
+        mesh = _production_mesh(gcfg.n_chains)
         with timer.stage("gibbs"):
             gres = run_gibbs(
                 bundle.hits, em.log_conprb, em.log_ncp, ref.M, bundle.cnt.N0,
                 em.eel, model.mw, gi, gcfg, omit=bundle.omit, ta=ta,
+                mesh=mesh,
             )
         gene_pme_tpm = np.bincount(
             sid2gid[1:], weights=gres.pme_tpm[1:], minlength=gi.m
@@ -332,7 +354,7 @@ def calculate_expression(
         )
         with timer.stage("ci"):
             cires = run_ci(gres.countvectors, em.eel, model.mw, gi, cicfg,
-                           ta=ta)
+                           ta=ta, mesh=_production_mesh(len(gres.countvectors)))
         sid_ci = (
             ISO_TITLE_CI,
             np.stack(
@@ -448,6 +470,7 @@ def calculate_expression(
                 bundle.hits, em.log_conprb, em.log_ncp, ref.M,
                 bundle.cnt.N0, em.eel, model.mw, gi, gcfg,
                 omit=bundle.omit, ta=None, prior=pres.prior,
+                mesh=_production_mesh(gcfg.n_chains),
             )
             g_pme_tpm = np.bincount(sid2gid[1:], weights=pgres.pme_tpm[1:],
                                     minlength=gi.m)

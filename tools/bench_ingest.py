@@ -6,6 +6,7 @@ and without the native sidecar. Target (VERDICT item 3): >= 1M records/s
 native.
 """
 
+import os
 import sys
 import time
 
@@ -58,11 +59,18 @@ def make_bam(path, n_reads=1_000_000, M=2000, read_len=100, mean_hits=2.5,
 
 def main():
     n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    path = "/tmp/bench_ingest.bam"
-    print(f"generating {n_reads} reads ...", flush=True)
-    t0 = time.perf_counter()
-    n_rec = make_bam(path, n_reads=n_reads)
-    print(f"  {n_rec} records written in {time.perf_counter()-t0:.1f}s")
+    path = f"/tmp/bench_ingest_{n_reads}.bam"
+    meta = path + ".nrec"
+    if os.path.exists(path) and os.path.exists(meta):
+        n_rec = int(open(meta).read())
+        print(f"reusing cached {path} ({n_rec} records)")
+    else:
+        print(f"generating {n_reads} reads ...", flush=True)
+        t0 = time.perf_counter()
+        n_rec = make_bam(path, n_reads=n_reads)
+        with open(meta, "w") as f:
+            f.write(str(n_rec))
+        print(f"  {n_rec} records written in {time.perf_counter()-t0:.1f}s")
 
     names = [""] + [f"t{i}" for i in range(2000)]
     t0 = time.perf_counter()

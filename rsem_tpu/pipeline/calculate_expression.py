@@ -31,24 +31,6 @@ from ..engine.em import write_theta_file
 from ..engine.gibbs import GibbsConfig, run_gibbs
 from ..engine.ci import CIConfig, run_ci
 from ..parallel.distributed import maybe_initialize as _maybe_init_distributed
-
-
-def _production_mesh(n_chains: int):
-    """Mesh for the posterior stages when >1 device is visible (the
-    reference parallelizes Gibbs chains / CI samples across threads in
-    production, Gibbs.cpp:207-254, calcCI.cpp:404-420). None on a single
-    device or when the chain count does not tile the mesh."""
-    import jax
-
-    try:
-        n_dev = len(jax.devices())
-    except RuntimeError:
-        return None
-    if n_dev <= 1 or n_chains % n_dev:
-        return None
-    from ..parallel.mesh import make_mesh
-
-    return make_mesh(n_dev)
 from ..io import parse_alignments
 from ..io.results import (
     ALLELE_TITLE_PME,
@@ -71,6 +53,24 @@ from ..io.tbam2gbam import tbam2gbam
 from ..model import GenerativeModel, ModelSpec
 from ..refprep.reference import Reference
 from ..refprep.transcripts import GroupInfo, Transcripts
+
+
+def _production_mesh(n_chains: int):
+    """Mesh for the posterior stages when >1 device is visible (the
+    reference parallelizes Gibbs chains / CI samples across threads in
+    production, Gibbs.cpp:207-254, calcCI.cpp:404-420). None on a single
+    device or when the chain count does not tile the mesh."""
+    import jax
+
+    try:
+        n_dev = len(jax.devices())
+    except RuntimeError:
+        return None
+    if n_dev <= 1 or n_chains % n_dev:
+        return None
+    from ..parallel.mesh import make_mesh
+
+    return make_mesh(n_dev)
 
 
 @dataclass
@@ -247,6 +247,13 @@ def calculate_expression(
 
     model.write(f"{stat}.model")
     write_theta_file(f"{stat}.theta", em.theta_raw, em.theta)
+    if cfg.keep_intermediate_files and em.log_conprb is not None:
+        # stage-restart/interop surface (EM.cpp:435-457): final-model
+        # conditional probabilities, consumable by rsem-run-gibbs
+        from ..io.ofg import write_ofg
+
+        write_ofg(f"{imd}.ofg", ref.M, bundle.cnt.N0, bundle.hits,
+                  em.log_conprb, em.log_ncp)
 
     tlens = ts.lengths()
     gl = gene_level_values(gi, tlens, em.eel, em.counts, em.tpm, em.fpkm)
@@ -271,7 +278,7 @@ def calculate_expression(
             n_chains=cfg.gibbs_chains,
             pseudo_count=0.1 if cfg.single_cell_prior else 1.0,
             seed=seeds[1] if seeds[1] is not None else 0,
-            keep_countvectors=cfg.calc_ci,
+            keep_countvectors=cfg.calc_ci or cfg.keep_intermediate_files,
         )
         mesh = _production_mesh(gcfg.n_chains)
         with timer.stage("gibbs"):
@@ -280,6 +287,12 @@ def calculate_expression(
                 em.eel, model.mw, gi, gcfg, omit=bundle.omit, ta=ta,
                 mesh=mesh,
             )
+        if cfg.keep_intermediate_files and gres.countvectors is not None:
+            from ..io.ofg import write_countvectors
+
+            # Gibbs.cpp:255-262 (single file; the reference writes one per
+            # thread and calcCI globs them — chains are merged here)
+            write_countvectors(f"{imd}.countvectors", gres.countvectors)
         gene_pme_tpm = np.bincount(
             sid2gid[1:], weights=gres.pme_tpm[1:], minlength=gi.m
         )
@@ -599,6 +612,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gibbs-burnin", type=int, default=200)
     p.add_argument("--gibbs-number-of-samples", type=int, default=1000)
     p.add_argument("--gibbs-sampling-gap", type=int, default=1)
+    # TPU-native knob (no reference equivalent): vmapped/sharded chain count
+    p.add_argument("--gibbs-chains", type=int, default=8)
     p.add_argument("--ci-credibility-level", type=float, default=0.95)
     p.add_argument("--ci-number-of-samples-per-count-vector", type=int,
                    default=50)
@@ -687,6 +702,7 @@ def main(argv=None) -> int:
         calc_ci=args.calc_ci,
         gibbs_burnin=args.gibbs_burnin,
         gibbs_number_of_samples=args.gibbs_number_of_samples,
+        gibbs_chains=args.gibbs_chains,
         gibbs_sampling_gap=args.gibbs_sampling_gap,
         ci_credibility_level=args.ci_credibility_level,
         ci_number_of_samples_per_count_vector=(

@@ -132,3 +132,83 @@ def test_degzip_list(tmp_path):
     assert parts[0] == str(plain)
     assert parts[1].endswith(".m1.1.fq")
     assert open(parts[1]).read().startswith("@r2")
+
+
+def test_ofg_roundtrip_and_gibbs_restart():
+    """.ofg write -> load reproduces the CSR (EM.cpp:435-457 format), and
+    gibbs_inputs_from_ofg rebuilds run_gibbs inputs that yield the same
+    posterior as the in-memory path (stage restart)."""
+    import numpy as np
+
+    from rsem_tpu.engine.gibbs import GibbsConfig, run_gibbs
+    from rsem_tpu.io.ofg import gibbs_inputs_from_ofg, load_ofg, write_ofg
+    from rsem_tpu.refprep.transcripts import GroupInfo
+    from rsem_tpu.testing import synthetic_arrays_fast
+
+    ref, bundle, spec, model = synthetic_arrays_fast(
+        n_reads=400, M=40, read_len=40, tx_len=300,
+        paired=False, has_qual=True, mean_extra_hits=1.0, seed=11)
+    rng = np.random.default_rng(5)
+    lcp = rng.normal(-18, 2, bundle.hits.n_hits)
+    lnp = np.where(rng.random(bundle.hits.n_reads) < 0.5,
+                   rng.normal(-25, 2, bundle.hits.n_reads), -np.inf)
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "x.ofg")
+        write_ofg(path, ref.M, 7, bundle.hits, lcp, lnp)
+        first = open(path).readline().split()
+        assert first == [str(ref.M), "7"]
+
+        M2, N0_2, hv, lcp2, lnp2 = gibbs_inputs_from_ofg(path)
+        assert (M2, N0_2) == (ref.M, 7)
+        assert hv.n_reads == bundle.hits.n_reads
+        np.testing.assert_array_equal(hv.sid, bundle.hits.sid)
+        np.testing.assert_allclose(lcp2, lcp, rtol=2e-15, atol=1e-12)
+        finite = np.isfinite(lnp)
+        np.testing.assert_allclose(lnp2[finite], lnp[finite], rtol=2e-15)
+        assert not np.isfinite(lnp2[~finite]).any()
+
+        gi = GroupInfo(np.arange(1, ref.M + 2))  # one gene per isoform
+        eel = np.concatenate([[0.0], np.full(ref.M, 200.0)])
+        mw = np.ones(ref.M + 1)
+        cfg = GibbsConfig(burnin=5, nsamples=16, gap=1, n_chains=4, seed=3)
+        a = run_gibbs(bundle.hits, lcp, lnp, ref.M, 7, eel, mw, gi, cfg)
+        b = run_gibbs(hv, lcp2, lnp2, M2, N0_2, eel, mw, gi, cfg)
+        np.testing.assert_allclose(a.pme_c, b.pme_c, atol=1e-6)
+
+
+def test_countvectors_roundtrip(tmp_path):
+    import numpy as np
+
+    from rsem_tpu.io.ofg import load_countvectors, write_countvectors
+
+    cvs = np.random.default_rng(0).integers(0, 50, size=(6, 11)).astype(float)
+    p = tmp_path / "x.countvectors"
+    write_countvectors(str(p), cvs)
+    got = load_countvectors(str(p))
+    np.testing.assert_array_equal(got, cvs)
+    # reference format: one sample per line, M+1 space-separated ints
+    line = open(p).readline().strip().split(" ")
+    assert len(line) == 11 and all(t.lstrip("-").isdigit() for t in line)
+
+
+def test_driver_emits_ofg_and_countvectors(workdir, monkeypatch):
+    """--keep-intermediate-files emits .ofg + .countvectors under temp/."""
+    monkeypatch.chdir(workdir)
+    rc = calc_main([
+        "--alignments", "aln.sam", "fref", "s_ofg", "-q", "--no-bam-output",
+        "--keep-intermediate-files", "--calc-pme", "--seed", "1",
+        "--gibbs-burnin", "5", "--gibbs-number-of-samples", "16",
+        "--gibbs-chains", "4",
+    ])
+    assert rc == 0
+    imd = os.path.join("s_ofg.temp", "s_ofg")
+    assert os.path.exists(f"{imd}.ofg")
+    assert os.path.exists(f"{imd}.countvectors")
+    from rsem_tpu.io.ofg import load_countvectors, load_ofg
+
+    M, N0, offs, sid, cp = load_ofg(f"{imd}.ofg")
+    assert M > 0 and len(offs) >= 2
+    cvs = load_countvectors(f"{imd}.countvectors")
+    assert cvs.shape[0] == 16 and cvs.shape[1] == M + 1

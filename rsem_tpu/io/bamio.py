@@ -401,29 +401,60 @@ _BGZF_HDR = struct.Struct("<BBBBIBBHBBHH")
 
 
 class BgzfWriter:
-    """BGZF writer with virtual-offset tracking (for BAI indexing)."""
+    """BGZF writer with virtual-offset tracking (for BAI indexing).
+
+    Complete 65280-byte blocks are batched and compressed in parallel by
+    the native sidecar (native/bamparse.bgzf_compress, libdeflate across
+    threads — the reference uses hts_set_threads, BamWriter.h:72); a
+    tell_virtual() call forces the batch out first so virtual offsets stay
+    exact. Falls back to the in-process zlib loop without the sidecar."""
 
     MAX_BLOCK = 0xFF00
+    BATCH_BYTES = 8 << 20
 
     def __init__(self, path: str, level: int = 6):
         self.f = open(path, "wb")
         self.buf = bytearray()
+        self.pending = bytearray()  # complete blocks awaiting compression
         self.coffset = 0  # compressed bytes written so far
         self.level = level
+        try:
+            from ..native.bamparse import bgzf_compress_native
+
+            self._native = bgzf_compress_native
+        except Exception:  # pragma: no cover
+            self._native = None
 
     def tell_virtual(self) -> int:
+        self._flush_pending()
         return (self.coffset << 16) | len(self.buf)
 
     def write(self, data: bytes):
         self.buf += data
-        while len(self.buf) >= self.MAX_BLOCK:
-            self._flush_block(self.MAX_BLOCK)
+        if len(self.buf) >= self.MAX_BLOCK:
+            n_blocks = len(self.buf) // self.MAX_BLOCK
+            cut = n_blocks * self.MAX_BLOCK
+            self.pending += self.buf[:cut]
+            del self.buf[:cut]
+            if len(self.pending) >= self.BATCH_BYTES:
+                self._flush_pending()
 
-    def _flush_block(self, n: Optional[int] = None):
-        if n is None:
-            n = len(self.buf)
-        chunk = bytes(self.buf[:n])
-        del self.buf[:n]
+    def _flush_pending(self):
+        if not self.pending:
+            return
+        out = self._native(bytes(self.pending), self.level) \
+            if self._native else None
+        if out is None:
+            while self.pending:
+                chunk = bytes(self.pending[: self.MAX_BLOCK])
+                del self.pending[: self.MAX_BLOCK]
+                self._write_member(chunk)
+            return
+        self.f.write(out)
+        self.coffset += len(out)
+        self.pending.clear()
+
+    def _write_member(self, chunk: bytes):
         comp = zlib.compressobj(self.level, zlib.DEFLATED, -15)
         cdata = comp.compress(chunk) + comp.flush()
         bsize = len(cdata) + 25  # total block = 18 hdr + cdata + 8 tail; field = total-1
@@ -436,8 +467,10 @@ class BgzfWriter:
         self.coffset += len(block)
 
     def close(self):
+        self._flush_pending()
         if self.buf:
-            self._flush_block()
+            self._write_member(bytes(self.buf))
+            self.buf.clear()
         self.f.write(_BGZF_EOF)
         self.f.close()
 

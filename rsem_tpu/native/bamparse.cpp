@@ -877,4 +877,90 @@ void bamparse_export_stats(void *vh, int cat, int64_t *out) {
 
 void bamparse_free(void *vh) { delete (Handle *)vh; }
 
+// ---------------------------------------------------------------------------
+// parallel BGZF compression (the write-side counterpart of inflate_blocks):
+// split `len` bytes into <=65280-byte members, deflate them across threads
+// (libdeflate when built with it, else zlib), emit the standard BGZF member
+// framing (18-byte gzip header with BC subfield + CRC32 + ISIZE trailer).
+// `out` must have room for bgzf_compress_bound(len) bytes; returns the
+// actual output size, or -1 on failure. Replaces the single-thread Python
+// zlib loop in io/bamio.BgzfWriter for bulk BAM writeback (the reference
+// parallelizes this via hts_set_threads, BamWriter.h:72).
+constexpr int64_t BGZF_CHUNK = 0xFF00;  // 65280
+constexpr int64_t BGZF_SLACK = 1024;    // per-member worst-case overhead
+
+int64_t bgzf_compress_bound(int64_t len) {
+  int64_t nb = len <= 0 ? 1 : (len + BGZF_CHUNK - 1) / BGZF_CHUNK;
+  return nb * (BGZF_CHUNK + BGZF_SLACK + 26);
+}
+
+int64_t bgzf_compress(const uint8_t *data, int64_t len, int level,
+                      int n_threads, uint8_t *out) {
+  int64_t nb = len <= 0 ? 0 : (len + BGZF_CHUNK - 1) / BGZF_CHUNK;
+  std::vector<int64_t> out_off(nb + 1, 0);
+  int64_t stride = BGZF_CHUNK + BGZF_SLACK + 26;
+  std::vector<uint8_t> tmp(nb * stride);
+  std::vector<int64_t> sizes(nb, -1);
+  std::atomic<int64_t> next(0);
+  std::atomic<bool> ok(true);
+  auto worker = [&]() {
+#ifdef USE_LIBDEFLATE
+    struct libdeflate_compressor *c =
+        libdeflate_alloc_compressor(level < 1 ? 1 : (level > 12 ? 12 : level));
+    if (!c) { ok = false; return; }
+#endif
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= nb || !ok.load(std::memory_order_relaxed)) break;
+      const uint8_t *src = data + i * BGZF_CHUNK;
+      int64_t n = std::min(BGZF_CHUNK, len - i * BGZF_CHUNK);
+      uint8_t *dst = tmp.data() + i * stride;
+      size_t csz = 0;
+#ifdef USE_LIBDEFLATE
+      csz = libdeflate_deflate_compress(c, src, (size_t)n, dst + 18,
+                                        (size_t)(stride - 26));
+      uint32_t crc = libdeflate_crc32(0, src, (size_t)n);
+#else
+      z_stream zs;
+      std::memset(&zs, 0, sizeof(zs));
+      if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
+                       Z_DEFAULT_STRATEGY) != Z_OK) { ok = false; break; }
+      zs.next_in = const_cast<Bytef *>(src);
+      zs.avail_in = (uInt)n;
+      zs.next_out = dst + 18;
+      zs.avail_out = (uInt)(stride - 26);
+      int rc = deflate(&zs, Z_FINISH);
+      csz = (rc == Z_STREAM_END) ? (size_t)zs.total_out : 0;
+      deflateEnd(&zs);
+      uint32_t crc = (uint32_t)crc32(0, src, (uInt)n);
+#endif
+      if (csz == 0) { ok = false; break; }
+      uint16_t bsize = (uint16_t)(csz + 25);  // total-1
+      const uint8_t hdr[18] = {31, 139, 8, 4, 0, 0, 0, 0, 0, 0xFF,
+                               6, 0, 66, 67, 2, 0,
+                               (uint8_t)(bsize & 0xFF),
+                               (uint8_t)(bsize >> 8)};
+      std::memcpy(dst, hdr, 18);
+      uint32_t isize = (uint32_t)n;
+      std::memcpy(dst + 18 + csz, &crc, 4);
+      std::memcpy(dst + 18 + csz + 4, &isize, 4);
+      sizes[i] = 18 + (int64_t)csz + 8;
+    }
+#ifdef USE_LIBDEFLATE
+    libdeflate_free_compressor(c);
+#endif
+  };
+  std::vector<std::thread> ts;
+  int nt = n_threads < 1 ? 1 : n_threads;
+  for (int t = 0; t < nt; t++) ts.emplace_back(worker);
+  for (auto &t : ts) t.join();
+  if (!ok) return -1;
+  int64_t total = 0;
+  for (int64_t i = 0; i < nb; i++) {
+    std::memcpy(out + total, tmp.data() + i * stride, sizes[i]);
+    total += sizes[i];
+  }
+  return total;
+}
+
 } // extern "C"

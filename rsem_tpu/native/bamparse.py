@@ -90,6 +90,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.bamparse_export_stats.argtypes = [ctypes.c_void_p, ctypes.c_int, _c_i64p]
     lib.bamparse_free.restype = None
     lib.bamparse_free.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "bgzf_compress"):
+        lib.bgzf_compress_bound.restype = ctypes.c_int64
+        lib.bgzf_compress_bound.argtypes = [ctypes.c_int64]
+        lib.bgzf_compress.restype = ctypes.c_int64
+        lib.bgzf_compress.argtypes = [
+            _c_u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int, _c_u8p,
+        ]
     _lib = lib
     return _lib
 
@@ -259,3 +266,25 @@ def parse_bam_native(
         )
     finally:
         lib.bamparse_free(h)
+
+
+def bgzf_compress_native(data, level: int = 6,
+                         n_threads: Optional[int] = None) -> Optional[bytes]:
+    """Parallel BGZF compression of `data` (bytes-like) into complete
+    <=65280-byte members; None when the native library is unavailable.
+    The write-side counterpart of the parallel block inflate (the reference
+    uses hts_set_threads for this, BamWriter.h:72)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "bgzf_compress"):
+        return None
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    if buf.size == 0:
+        return b""
+    out = np.empty(int(lib.bgzf_compress_bound(buf.size)), dtype=np.uint8)
+    n = lib.bgzf_compress(buf.ctypes.data_as(_c_u8p), buf.size, int(level),
+                          int(n_threads), out.ctypes.data_as(_c_u8p))
+    if n < 0:
+        return None
+    return out[:n].tobytes()

@@ -19,6 +19,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from .fast_estep import gather_rows
 from .layout import HitsDevice, KernelConfig, ReadsDevice, RefDevice
 
 NEG_INF = -jnp.inf
@@ -149,7 +150,9 @@ def _profile_logprob(cfg, log_pro_flat, ref, read_codes, read_quals, read_lens,
     flat, valid = profile_indices(
         cfg, ref, read_codes, read_quals, read_lens, sid, pos, dirs
     )
-    vals = jnp.take(log_pro_flat, flat)
+    # widened-row gather into the small (<=25k-entry) table: rows of
+    # GATHER_W copies ride the DMA path ~8x faster than scalar gathers
+    vals = gather_rows(log_pro_flat, flat.reshape(-1)).reshape(flat.shape)
     return jnp.sum(jnp.where(valid, vals, 0.0), axis=1)
 
 
@@ -293,7 +296,7 @@ def compute_log_noise_conprb(
             flat = quals.astype(jnp.int32) * 5 + readc
         else:
             flat = readc
-        vals = jnp.take(log_npro, flat)
+        vals = gather_rows(log_npro, flat.reshape(-1)).reshape(flat.shape)
         base_term = jnp.sum(jnp.where(j < lens[:, None], vals, 0.0), axis=1)
         if cfg.paired or cfg.use_mld:
             len_term = log_lendist_pdf(

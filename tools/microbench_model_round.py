@@ -1,0 +1,69 @@
+"""Time the device-path model-update round components on the real TPU:
+conprb pass, noise pass, E-step (flat segment softmax), suffstats scatter.
+These are the 10 model rounds the reference spends 31.9s on (1 thread);
+sync-timed (jaxinit.sync)."""
+import time
+from functools import partial
+
+import numpy as np
+
+
+def main():
+    import jax, jax.numpy as jnp
+    from rsem_tpu.utils.jaxinit import configure, sync
+    configure()
+    print("device:", jax.devices()[0], flush=True)
+    from rsem_tpu.ops import (HitsDevice, KernelConfig, ReadsDevice,
+                              RefDevice, compute_log_conprb,
+                              compute_log_noise_conprb)
+    from rsem_tpu.ops.estep import estep_fracs, suffstats
+    from rsem_tpu.testing import synthetic_arrays_fast
+
+    ref, bundle, spec, model = synthetic_arrays_fast(
+        n_reads=1_000_000, M=20_000, read_len=100, tx_len=2000,
+        paired=False, has_qual=True, mean_extra_hits=1.5, seed=0)
+    refd = RefDevice.from_reference(ref)
+    m1 = ReadsDevice.from_arrays(bundle.reads)
+    hd = HitsDevice.from_arrays(bundle.hits)
+    kcfg = KernelConfig.from_model(model, m1.codes.shape[1])
+    dm = {k: jnp.asarray(v, dtype=jnp.float32)
+          for k, v in model.device_arrays().items()}
+    sync(m1.codes, refd.codes, hd.sid)
+    M = ref.M
+    n_reads = m1.lens.shape[0]
+
+    def timeit(name, fn, *args, iters=3):
+        out = fn(*args); sync(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        sync(out)
+        print(f"{name:28s} {(time.perf_counter()-t0)/iters*1e3:9.1f} ms",
+              flush=True)
+        return out
+
+    conprb_fn = jax.jit(partial(compute_log_conprb, kcfg))
+    ncp_fn = jax.jit(partial(compute_log_noise_conprb, kcfg))
+    lcp = timeit("conprb", conprb_fn, refd, m1, None, hd, dm)
+    lnp = timeit("noise conprb", ncp_fn, m1, None, dm)
+
+    log_theta = jnp.full((M + 1,), -np.log(M + 1), jnp.float32)
+    estep_jit = jax.jit(lambda lt, lc, ln: estep_fracs(
+        lt, hd.sid, hd.rid, lc, ln, n_reads, M))
+    out = timeit("estep_fracs", estep_jit, log_theta, lcp, lnp)
+
+    suff_jit = jax.jit(lambda fh, fn_: suffstats(
+        kcfg, refd, m1, None, hd, fh, fn_, dm, 0.5))
+    timeit("suffstats", suff_jit, out.frac_hit, out.frac_noise)
+
+    full = jax.jit(lambda lt: (lambda o: suffstats(
+        kcfg, refd, m1, None, hd, o.frac_hit, o.frac_noise, dm, 0.5))(
+        estep_fracs(lt, hd.sid, hd.rid,
+                    compute_log_conprb(kcfg, refd, m1, None, hd, dm),
+                    compute_log_noise_conprb(kcfg, m1, None, dm),
+                    n_reads, M)))
+    timeit("fused full model round", full, log_theta)
+
+
+if __name__ == "__main__":
+    main()

@@ -78,8 +78,8 @@ def main():
     from rsem_tpu.engine.em import EMConfig, run_em
     from rsem_tpu.testing import synthetic_arrays_fast
 
-    n_reads = 1_000_000
-    M = 20_000
+    n_reads = int(os.environ.get("RSEM_TPU_BENCH_NREADS", 1_000_000))
+    M = int(os.environ.get("RSEM_TPU_BENCH_M", 20_000))
     ref, bundle, spec, model0 = synthetic_arrays_fast(
         n_reads=n_reads, M=M, read_len=100, tx_len=2000,
         paired=False, has_qual=True, mean_extra_hits=1.5, seed=0,
@@ -144,8 +144,10 @@ def main():
         vs = base["ref_em_16t_amdahl_sec"] / warm_sec
 
     result = {
-        "metric": "EM end-to-end wall-clock (1M reads, 2.5 aln/read, M=20k; "
-                  "10 model rounds + theta loop + final E-step)",
+        "metric": (
+            f"EM end-to-end wall-clock ({n_reads} reads, 2.5 aln/read, "
+            f"M={M}; 10 model rounds + theta loop + final E-step)"
+        ),
         "value": round(warm_sec, 3),
         "unit": "seconds",
         "vs_baseline": round(vs, 3) if vs is not None else None,

@@ -520,6 +520,16 @@ def parse_alignments(
         if res is not None:
             reader.close()
             return _assemble_native(res, read_type, has_polya, seed_len, omit)
+    if use_native and isinstance(reader, SamReader):
+        from ..native.bamparse import parse_sam_native
+
+        res = parse_sam_native(
+            path, paired, has_qual, reader.target_names, e2i, target_lens,
+            filter_tag, has_polya=has_polya, seed_len=seed_len,
+        )
+        if res is not None:
+            reader.close()
+            return _assemble_native(res, read_type, has_polya, seed_len, omit)
 
     stats = {i: ReadStats() for i in range(3)}
     Ncat = [0, 0, 0]

@@ -18,6 +18,7 @@
 // vectorized on the Python side.
 
 #include <array>
+#include <unordered_map>
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
@@ -647,6 +648,156 @@ public:
   }
 };
 
+
+// ---------------------------------------------------------------------------
+// SAM-text ingestion: each line is re-encoded as an in-memory BAM record and
+// fed through the same Walker, so grouping/classification/stat semantics are
+// shared with the BAM path byte for byte. Mirrors io/sam.py SamReader.
+namespace samtext {
+
+// base char -> code (A C G T N, case-insensitive); -1 = unknown
+inline int8_t base_code(uint8_t c) {
+  switch (c) {
+  case 'A': case 'a': return 0;
+  case 'C': case 'c': return 1;
+  case 'G': case 'g': return 2;
+  case 'T': case 't': return 3;
+  case 'N': case 'n': return 4;
+  default: return -1;
+  }
+}
+const uint8_t CODE2NIB[5] = {1, 2, 4, 8, 15};
+
+struct LineView { const char *p; size_t n; };
+
+// encode one SAM line into `rec` (BAM record layout, without the leading
+// block_size); returns encoded byte count, 0 to skip, -1 on error (err set)
+int64_t encode_line(const char *line, size_t len,
+                    const std::unordered_map<std::string, int32_t> &tid_of,
+                    bool want_qual, const char ftag[2], bool has_ftag,
+                    std::vector<uint8_t> *rec, std::string *err) {
+  const char *f[12];
+  size_t fl[12];
+  int nf = 0;
+  const char *q = line, *endp = line + len;
+  while (nf < 12 && q <= endp) {
+    const char *t = (const char *)memchr(q, '\t', endp - q);
+    f[nf] = q;
+    fl[nf] = (t ? t : endp) - q;
+    nf++;
+    if (!t) break;
+    q = t + 1;
+  }
+  if (nf < 11) return 0;  // malformed line: skipped (SamReader parity)
+
+  auto to_int = [](const char *s2, size_t n2) -> long long {
+    long long v = 0;
+    bool neg = n2 && s2[0] == '-';
+    for (size_t i = neg ? 1 : 0; i < n2; i++) v = v * 10 + (s2[i] - '0');
+    return neg ? -v : v;
+  };
+  int flag = (int)to_int(f[1], fl[1]);
+  int32_t tid = -1;
+  if (!(fl[2] == 1 && f[2][0] == '*')) {
+    auto it = tid_of.find(std::string(f[2], fl[2]));
+    if (it == tid_of.end()) {
+      *err = "RSEM can not recognize reference sequence name " +
+             std::string(f[2], fl[2]) + "!";
+      return -1;
+    }
+    tid = it->second;
+  }
+  int32_t pos = (int32_t)to_int(f[3], fl[3]) - 1;
+  int32_t l_seq = (fl[9] == 1 && f[9][0] == '*') ? 0 : (int32_t)fl[9];
+
+  // cigar: single op only (multi-op handled as n_cigar>1 -> walker rejects
+  // mapped records via check_cigar); "*" -> none
+  uint32_t cigar_word = 0;
+  int n_cigar = 0;
+  if (!(fl[5] == 1 && f[5][0] == '*')) {
+    size_t i = 0;
+    long long n2 = 0;
+    while (i < fl[5] && f[5][i] >= '0' && f[5][i] <= '9')
+      n2 = n2 * 10 + (f[5][i++] - '0');
+    char op = i < fl[5] ? f[5][i] : 0;
+    int opc = op == 'M' ? 0 : op == '=' ? 7 : op == 'X' ? 8 : op == 'I' ? 1
+              : op == 'D' ? 2 : op == 'N' ? 3 : op == 'S' ? 4 : op == 'H' ? 5
+              : op == 'P' ? 6 : 0;
+    cigar_word = ((uint32_t)n2 << 4) | (uint32_t)opc;
+    n_cigar = 1;
+    if (i + 1 < fl[5]) n_cigar = 2;  // >1 op: forces check_cigar failure
+  }
+
+  int name_len = (int)fl[0];
+  if (name_len > 254) name_len = 254;
+  int64_t total = 32 + (name_len + 1) + 4LL * n_cigar + (l_seq + 1) / 2 +
+                  l_seq + (has_ftag ? 7 : 0);
+  rec->assign(total, 0);
+  uint8_t *o = rec->data();
+  std::memcpy(o, &tid, 4);
+  std::memcpy(o + 4, &pos, 4);
+  o[8] = (uint8_t)(name_len + 1);
+  uint16_t nc16 = (uint16_t)n_cigar;
+  std::memcpy(o + 12, &nc16, 2);
+  uint16_t fl16 = (uint16_t)flag;
+  std::memcpy(o + 14, &fl16, 2);
+  std::memcpy(o + 16, &l_seq, 4);
+  uint8_t *w = o + 32;
+  std::memcpy(w, f[0], name_len);
+  w[name_len] = 0;
+  w += name_len + 1;
+  if (n_cigar >= 1) { std::memcpy(w, &cigar_word, 4); w += 4; }
+  if (n_cigar == 2) { uint32_t z = 0; std::memcpy(w, &z, 4); w += 4; }
+  for (int32_t i = 0; i < l_seq; i++) {
+    int8_t c = base_code((uint8_t)f[9][i]);
+    if (c < 0) {
+      *err = std::string("Found unknown sequence letter '") + f[9][i] + "'";
+      return -1;
+    }
+    uint8_t nib = CODE2NIB[c];
+    if (i & 1) w[i >> 1] |= nib; else w[i >> 1] = (uint8_t)(nib << 4);
+  }
+  w += (l_seq + 1) / 2;
+  if (fl[10] == 1 && f[10][0] == '*') {
+    std::memset(w, 0xFF, l_seq);
+  } else {
+    for (int32_t i = 0; i < l_seq && i < (int32_t)fl[10]; i++) {
+      int qv = (uint8_t)f[10][i] - 33;
+      if (qv < 0 || qv > 93) {
+        *err = "Quality score out of range [33, 126]";
+        return -1;
+      }
+      w[i] = (uint8_t)qv;
+    }
+  }
+  w += l_seq;
+  if (has_ftag) {
+    // attach the aligner filter tag when present on the line (type i)
+    long long val = 0;
+    bool found = false;
+    for (int k = 11; k < nf; k++) {
+      if (fl[k] >= 5 && f[k][0] == ftag[0] && f[k][1] == ftag[1] &&
+          f[k][2] == ':' && f[k][3] == 'i' && f[k][4] == ':') {
+        val = to_int(f[k] + 5, fl[k] - 5);
+        found = true;
+        break;
+      }
+    }
+    if (found) {
+      w[0] = (uint8_t)ftag[0];
+      w[1] = (uint8_t)ftag[1];
+      w[2] = 'i';
+      int32_t v32 = (int32_t)val;
+      std::memcpy(w + 3, &v32, 4);
+    } else {
+      rec->resize(total - 7);
+    }
+  }
+  return (int64_t)rec->size();
+}
+
+} // namespace samtext
+
 struct Handle {
   Parser P;
 };
@@ -876,6 +1027,143 @@ void bamparse_export_stats(void *vh, int cat, int64_t *out) {
 }
 
 void bamparse_free(void *vh) { delete (Handle *)vh; }
+
+// SAM-text counterpart of bamparse_run: `names` is the NUL-separated
+// target-name blob in the same order as e2i/target_lens (the alignment
+// file's header order). Handles plain and whole-stream-gzip SAM.
+void *samparse_run(const char *path, int paired, int has_qual,
+                   const char *names, const int32_t *e2i,
+                   const int64_t *target_lens, int n_targets,
+                   const char *filter_tag, int has_polya, int seed_len,
+                   char *errbuf, int errbuf_len) {
+  auto fail = [&](const std::string &msg) -> void * {
+    std::snprintf(errbuf, errbuf_len, "%s", msg.c_str());
+    return nullptr;
+  };
+  FILE *f = std::fopen(path, "rb");
+  if (!f) return fail("cannot open file");
+  std::fseek(f, 0, SEEK_END);
+  long fsize = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> raw(fsize);
+  if (fsize && std::fread(raw.data(), 1, fsize, f) != (size_t)fsize) {
+    std::fclose(f);
+    return fail("short read");
+  }
+  std::fclose(f);
+
+  std::vector<uint8_t> text;
+  if (raw.size() >= 2 && raw[0] == 0x1f && raw[1] == 0x8b) {
+    // whole-stream gzip (not BGZF-parallel: .sam.gz is one member)
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, 15 + 32) != Z_OK) return fail("zlib init failed");
+    text.resize(raw.size() * 4 + 4096);
+    zs.next_in = raw.data();
+    zs.avail_in = (uInt)raw.size();
+    size_t done = 0;
+    for (;;) {
+      zs.next_out = text.data() + done;
+      zs.avail_out = (uInt)(text.size() - done);
+      int rc = inflate(&zs, Z_NO_FLUSH);
+      done = text.size() - zs.avail_out;
+      if (rc == Z_STREAM_END) break;
+      if (rc != Z_OK && rc != Z_BUF_ERROR) {
+        inflateEnd(&zs);
+        return fail("gzip inflate failed");
+      }
+      if (zs.avail_out == 0) text.resize(text.size() * 2);
+      else if (rc == Z_BUF_ERROR) break;
+    }
+    inflateEnd(&zs);
+    text.resize(done);
+  } else {
+    text.swap(raw);
+  }
+
+  std::unordered_map<std::string, int32_t> tid_of;
+  const char *np = names;
+  for (int i = 0; i < n_targets; i++) {
+    size_t l = std::strlen(np);
+    tid_of.emplace(std::string(np, l), i);
+    np += l + 1;
+  }
+
+  Handle *h = new Handle();
+  Parser &P = h->P;
+  P.paired = paired != 0;
+  P.has_qual = has_qual != 0;
+  P.has_polya = has_polya != 0;
+  P.seed_len = seed_len;
+  P.e2i.assign(e2i, e2i + n_targets);
+  P.target_len.assign(target_lens, target_lens + n_targets);
+  bool has_ftag = false;
+  char ftag[2] = {0, 0};
+  if (filter_tag && filter_tag[0] && filter_tag[1]) {
+    ftag[0] = filter_tag[0];
+    ftag[1] = filter_tag[1];
+    has_ftag = true;
+    P.ftag[0] = ftag[0];
+    P.ftag[1] = ftag[1];
+    P.has_ftag = true;
+  }
+
+  Walker w;
+  w.P = &P;
+  bool pending = false;
+  std::vector<uint8_t> rec1, rec2;
+  RawRecord r1, r;
+  const char *q = (const char *)text.data();
+  const char *endp = q + text.size();
+  while (q < endp) {
+    const char *nl = (const char *)memchr(q, '\n', endp - q);
+    size_t ll = (nl ? nl : endp) - q;
+    if (ll && q[ll - 1] == '\r') ll--;
+    if (ll == 0 || q[0] == '@') {
+      q = nl ? nl + 1 : endp;
+      continue;
+    }
+    std::vector<uint8_t> &rec = (P.paired && !pending) ? rec1 : rec2;
+    int64_t n = samtext::encode_line(q, ll, tid_of, P.has_qual, ftag,
+                                     has_ftag, &rec, &P.err);
+    q = nl ? nl + 1 : endp;
+    if (n < 0) {
+      std::string e = P.err;
+      delete h;
+      return fail(e);
+    }
+    if (n == 0) continue;
+    RawRecord *tgt = (P.paired && !pending) ? &r1 : &r;
+    if (!parse_record(rec.data(), (int32_t)rec.size(), tgt, &P.err)) {
+      std::string e = P.err;
+      delete h;
+      return fail(e);
+    }
+    bool okstep;
+    if (P.paired) {
+      if (!pending) {
+        pending = true;
+        continue;
+      }
+      pending = false;
+      okstep = w.step_pe(r1, r);
+    } else {
+      okstep = w.step_se(r);
+    }
+    if (!okstep) {
+      std::string e = P.err;
+      delete h;
+      return fail(e);
+    }
+  }
+  if (pending) {
+    delete h;
+    return fail("paired-end file has an odd number of records");
+  }
+  w.flush();
+  return h;
+}
+
 
 // ---------------------------------------------------------------------------
 // parallel BGZF compression (the write-side counterpart of inflate_blocks):

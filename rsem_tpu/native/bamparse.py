@@ -90,6 +90,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.bamparse_export_stats.argtypes = [ctypes.c_void_p, ctypes.c_int, _c_i64p]
     lib.bamparse_free.restype = None
     lib.bamparse_free.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "samparse_run"):
+        lib.samparse_run.restype = ctypes.c_void_p
+        lib.samparse_run.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, _c_i32p, _c_i64p, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int,
+        ]
     if hasattr(lib, "bgzf_compress"):
         lib.bgzf_compress_bound.restype = ctypes.c_int64
         lib.bgzf_compress_bound.argtypes = [ctypes.c_int64]
@@ -200,6 +208,11 @@ def parse_bam_native(
     )
     if not h:
         raise ValueError(errbuf.value.decode(errors="replace"))
+    return _export_handle(lib, h, paired, has_qual)
+
+
+def _export_handle(lib, h, paired: bool, has_qual: bool) -> NativeParse:
+    """Copy a finished parse handle's arrays out and free it."""
     try:
         sizes = np.zeros(18, dtype=np.int64)
         lib.bamparse_sizes(h, sizes.ctypes.data_as(_c_i64p))
@@ -266,6 +279,37 @@ def parse_bam_native(
         )
     finally:
         lib.bamparse_free(h)
+
+
+def parse_sam_native(
+    path: str,
+    paired: bool,
+    has_qual: bool,
+    target_names,
+    e2i: np.ndarray,
+    target_lens: np.ndarray,
+    filter_tag: str,
+    has_polya: bool = False,
+    seed_len: int = 25,
+) -> Optional[NativeParse]:
+    """SAM-text twin of parse_bam_native (same Walker in C++; lines are
+    re-encoded as BAM records internally). None when unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "samparse_run"):
+        return None
+    e2i = np.ascontiguousarray(e2i, dtype=np.int32)
+    target_lens = np.ascontiguousarray(target_lens, dtype=np.int64)
+    names_blob = b"".join(n.encode() + b"\0" for n in target_names)
+    errbuf = ctypes.create_string_buffer(512)
+    tag = filter_tag.encode() if filter_tag and len(filter_tag) == 2 else b""
+    h = lib.samparse_run(
+        path.encode(), int(paired), int(has_qual), names_blob,
+        e2i.ctypes.data_as(_c_i32p), target_lens.ctypes.data_as(_c_i64p),
+        len(e2i), tag, int(has_polya), int(seed_len), errbuf, len(errbuf),
+    )
+    if not h:
+        raise ValueError(errbuf.value.decode(errors="replace"))
+    return _export_handle(lib, h, paired, has_qual)
 
 
 def bgzf_compress_native(data, level: int = 6,

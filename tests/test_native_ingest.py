@@ -169,3 +169,30 @@ def test_native_paired_checks(tmp_path):
     py = parse_alignments(bam, names, 3, use_native=False, **kw)
     _assert_bundles_equal(nat, py, True, True)
     assert nat.hits.insert_len.tolist() == [60]
+
+
+@pytest.mark.parametrize("fixture,read_type", [
+    ("aln.sam.gz", 1),
+    ("aln.sam.gz", 0),
+    ("aln_pe.sam.gz", 3),
+    ("aln_pe.sam.gz", 2),
+])
+def test_native_sam_text_matches_python(tmp_path, fixture, read_type):
+    """The SAM-text sidecar path (samparse_run) is byte-identical to the
+    Python SAM loop — same oracle contract as the BAM path, both on plain
+    and gzip-compressed text."""
+    sam = tmp_path / "in.sam"
+    with gzip.open(f"{GOLD}/{fixture}", "rb") as fi, open(sam, "wb") as fo:
+        shutil.copyfileobj(fi, fo)
+    names = [""] + [l.split("SN:")[1].split("\t")[0]
+                    for l in open(sam).read().splitlines()
+                    if l.startswith("@SQ")]
+    kw = dict(has_polya=False, seed_len=25)
+    nat = parse_alignments(str(sam), names, read_type, use_native=True, **kw)
+    py = parse_alignments(str(sam), names, read_type, use_native=False, **kw)
+    _assert_bundles_equal(nat, py, read_type in (1, 3), read_type >= 2)
+    # gzip-compressed text goes through the in-sidecar whole-stream inflate
+    gz = tmp_path / "in2.sam.gz"
+    shutil.copyfile(f"{GOLD}/{fixture}", gz)
+    nat_gz = parse_alignments(str(gz), names, read_type, use_native=True, **kw)
+    _assert_bundles_equal(nat_gz, py, read_type in (1, 3), read_type >= 2)

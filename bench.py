@@ -121,19 +121,19 @@ def main():
     use_pallas = (kernel == "pallas") or (
         kernel in ("auto",) and _pr.pallas_supported(M))
     if use_pallas:
-        pdata = _pr.build_pallas_data(bundle.hits, lcp, lnp, M, 0.0)
-        round_fn = jax.jit(lambda t: _pr.pallas_theta_round(t, pdata)[0])
+        rdata = _pr.build_pallas_data(bundle.hits, lcp, lnp, M, 0.0)
+        round_fn = jax.jit(lambda t, d: _pr.pallas_theta_round(t, d)[0])
     else:
         from rsem_tpu.ops.fast_estep import build_fast_data, fast_theta_round
-        fdata = build_fast_data(bundle.hits, lcp, lnp, M, 0.0)
-        round_fn = jax.jit(lambda t: fast_theta_round(t, fdata)[0])
-    th = round_fn(theta0)
+        rdata = build_fast_data(bundle.hits, lcp, lnp, M, 0.0)
+        round_fn = jax.jit(lambda t, d: fast_theta_round(t, d)[0])
+    th = round_fn(theta0, rdata)
     sync(th)
     iters = 50
     t0 = time.perf_counter()
     th = theta0
     for _ in range(iters):
-        th = round_fn(th)
+        th = round_fn(th, rdata)
     sync(th)
     round_sec = (time.perf_counter() - t0) / iters
     reads_per_sec = n_reads / round_sec

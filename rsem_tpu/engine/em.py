@@ -44,6 +44,8 @@ from ..ops.conprb import (
     _ceil_to,
     compute_log_conprb,
     compute_log_noise_conprb,
+    precompute_profile_indices,
+    preidx_bytes,
 )
 from ..ops.estep import estep_fracs, suffstats
 from ..ops.layout import HitsDevice, KernelConfig, ReadsDevice, RefDevice
@@ -133,24 +135,34 @@ def _run_fast_loop(theta, bundle, lcp_np, lnp_np, M, N0, em_cfg, rounds):
     if use_pallas:
         pdata = _pr.build_pallas_data(bundle.hits, lcp_np, lnp_np, M,
                                       float(N0))
-        loop_fn = jax.jit(
-            partial(_pr.run_pallas_em_loop, min_round=em_cfg.min_round,
-                    max_round=em_cfg.max_round)
-        )
-        theta_dev, counts_dev, rounds_dev = loop_fn(
-            jnp.asarray(theta, dtype=jnp.float32), pdata,
-            start_round=jnp.asarray(rounds, dtype=jnp.int32),
-        )
-
-        def final(th):
-            f, fn_ = jax.jit(lambda t: _pr.pallas_final_fracs(t, pdata))(
-                jnp.asarray(th, dtype=jnp.float32))
-            return (
-                fetch64(f)[: bundle.hits.n_hits],
-                fetch64(fn_)[: bundle.hits.n_reads],
+        # pdata rides through jit as an ARGUMENT: its custom pytree keeps
+        # the grid-sizing int metadata concrete (aux_data) while the tiles
+        # stay device buffers instead of embedded program constants
+        try:
+            theta_dev, counts_dev, rounds_dev = _pr.jit_pallas_loop(
+                jnp.asarray(theta, dtype=jnp.float32), pdata,
+                jnp.asarray(rounds, dtype=jnp.int32),
+                em_cfg.min_round, em_cfg.max_round,
             )
+        except Exception as exc:  # Mosaic/driver regression: XLA fallback
+            if em_cfg.fast_kernel == "pallas":
+                raise
+            import warnings
 
-        return fetch64(theta_dev), int(rounds_dev), final
+            warnings.warn(
+                f"pallas theta loop failed ({type(exc).__name__}: {exc}); "
+                "falling back to the XLA round"
+            )
+        else:
+            def final(th):
+                f, fn_ = _pr.jit_pallas_final_fracs(
+                    jnp.asarray(th, dtype=jnp.float32), pdata)
+                return (
+                    fetch64(f)[: bundle.hits.n_hits],
+                    fetch64(fn_)[: bundle.hits.n_reads],
+                )
+
+            return fetch64(theta_dev), int(rounds_dev), final
 
     from ..ops.fast_estep import (
         build_fast_data,
@@ -351,6 +363,30 @@ def _run_em_device_sharded(model, ref, bundle, em_cfg, need_posteriors,
                    frac_noise, lcp_np, lnp_np, need_posteriors)
 
 
+class _PhaseClock:
+    """Env-gated wall-clock accounting for run_em phases
+    (RSEM_TPU_EM_TIMING=1 prints a per-phase table at the end)."""
+
+    def __init__(self):
+        import os
+
+        self.on = os.environ.get("RSEM_TPU_EM_TIMING") == "1"
+        self.acc: Dict[str, float] = {}
+        self._t0 = time.perf_counter()
+
+    def lap(self, name: str):
+        t = time.perf_counter()
+        self.acc[name] = self.acc.get(name, 0.0) + (t - self._t0)
+        self._t0 = t
+
+    def report(self, label: str):
+        if self.on:
+            total = sum(self.acc.values())
+            print(f"[em timing] {label}: total {total:.2f}s", flush=True)
+            for k, v in sorted(self.acc.items(), key=lambda kv: -kv[1]):
+                print(f"[em timing]   {k:28s} {v:8.2f}s", flush=True)
+
+
 # --------------------------------------------------------------------- #
 # pure device path                                                       #
 # --------------------------------------------------------------------- #
@@ -387,8 +423,22 @@ def _run_em_device(model, ref, bundle, em_cfg, need_posteriors) -> EMResult:
     conprb_fn = jax.jit(partial(compute_log_conprb, kcfg))
     ncp_fn = jax.jit(partial(compute_log_noise_conprb, kcfg))
 
+    # freeze the round-invariant profile-table indices once: the per-round
+    # conprb/suffstats passes then skip the reference walk entirely
+    # (ops/conprb.PreIdx). Gated on HBM footprint.
+    pre = None
+    import os as _os
+
+    pre_budget = int(_os.environ.get("RSEM_TPU_PREIDX_BUDGET",
+                                     6 * 1024**3))
+    if preidx_bytes(kcfg, int(hd.rid.shape[0])) <= pre_budget:
+        pre = jax.jit(partial(precompute_profile_indices, kcfg))(
+            refd, m1, m2, hd
+        )
+
     @jax.jit
-    def round_fn(log_theta, log_conprb, log_ncp, dev_model, refd_, m1_, m2_, hd_):
+    def round_fn(log_theta, log_conprb, log_ncp, dev_model, refd_, m1_, m2_,
+                 hd_, pre_):
         out = estep_fracs(
             log_theta, hd_.sid, hd_.rid, log_conprb, log_ncp, n_reads, M
         )
@@ -396,16 +446,18 @@ def _run_em_device(model, ref, bundle, em_cfg, need_posteriors) -> EMResult:
         theta = counts / jnp.sum(counts)
         suff = suffstats(
             kcfg, refd_, m1_, m2_, hd_, out.frac_hit, out.frac_noise,
-            dev_model, float(spec.probF),
+            dev_model, float(spec.probF), pre=pre_,
         )
         return theta, counts, suff
 
     def to_dev(model_np: Dict[str, np.ndarray]):
         return {k: jnp.asarray(v, dtype=jnp.float32) for k, v in model_np.items()}
 
+    clock = _PhaseClock()
     theta = _theta_init(cnt, M)
     dev_model = to_dev(model.device_arrays())
-    log_conprb = conprb_fn(refd, m1, m2, hd, dev_model)
+    clock.lap("setup+H2D")
+    log_conprb = conprb_fn(refd, m1, m2, hd, dev_model, pre)
     log_ncp = ncp_fn(m1, m2, dev_model)
 
     rounds = 0
@@ -413,14 +465,18 @@ def _run_em_device(model, ref, bundle, em_cfg, need_posteriors) -> EMResult:
         rounds += 1
         log_theta = jnp.asarray(_safe_log_np(theta), dtype=jnp.float32)
         new_theta, counts, suff = round_fn(
-            log_theta, log_conprb, log_ncp, dev_model, refd, m1, m2, hd
+            log_theta, log_conprb, log_ncp, dev_model, refd, m1, m2, hd, pre
         )
+        clock.lap("model: dispatch")
         suff_np = {k: fetch64(v) for k, v in suff.items()}
+        clock.lap("model: conprb+estep+suff (sync at fetch)")
         model.finish_round(suff_np)
         dev_model = to_dev(model.device_arrays())
-        log_conprb = conprb_fn(refd, m1, m2, hd, dev_model)
+        clock.lap("model: host refit")
+        log_conprb = conprb_fn(refd, m1, m2, hd, dev_model, pre)
         log_ncp = ncp_fn(m1, m2, dev_model)
         new_theta = fetch64(new_theta)
+        clock.lap("model: theta fetch")
         bchg, _ = _bchange(new_theta, theta)
         theta = new_theta
         if em_cfg.verbose:
@@ -428,13 +484,17 @@ def _run_em_device(model, ref, bundle, em_cfg, need_posteriors) -> EMResult:
 
     lcp_np = fetch64(log_conprb)[: bundle.hits.n_hits]
     lnp_np = fetch64(log_ncp)[: bundle.hits.n_reads]
+    clock.lap("conprb freeze + D2H")
     theta, rounds, final = _run_fast_loop(
         theta, bundle, lcp_np, lnp_np, M, N0, em_cfg, rounds
     )
+    clock.lap("theta loop (build+compile+run)")
     frac_hit, frac_noise = final(theta)
     counts = np.zeros(M + 1)
     np.add.at(counts, bundle.hits.sid, frac_hit)
     counts[0] = frac_noise.sum() + N0
+    clock.lap("final E-step + host scatter")
+    clock.report("device path")
     return _finish(model, ref, bundle, theta, counts, rounds, frac_hit,
                    frac_noise, lcp_np, lnp_np, need_posteriors)
 

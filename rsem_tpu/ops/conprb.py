@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -156,6 +156,76 @@ def _profile_logprob(cfg, log_pro_flat, ref, read_codes, read_quals, read_lens,
     return jnp.sum(jnp.where(valid, vals, 0.0), axis=1)
 
 
+def _profile_logprob_pre(log_pro_flat, flat, read_lens):
+    """Profile term from PRECOMPUTED flat indices (see PreIdx): just the
+    table gather + masked positional sum — no reference-sequence walk."""
+    vals = gather_rows(
+        log_pro_flat, flat.astype(jnp.int32).reshape(-1)
+    ).reshape(flat.shape)
+    j = jnp.arange(flat.shape[1], dtype=jnp.int32)[None, :]
+    return jnp.sum(jnp.where(j < read_lens[:, None], vals, 0.0), axis=1)
+
+
+class PreIdx(NamedTuple):
+    """Round-invariant per-(hit, position) profile-table indices.
+
+    The reference recomputes ref.get_id(pos+i, dir) per E_STEP round
+    (SingleModel.h:95-146); on TPU the walk (reference-code gather + index
+    arithmetic over [H, L]) dominates the conprb pass while its RESULT
+    never changes across model rounds — only the table values do. Freezing
+    the flat indices once turns every later conprb/suffstats pass into a
+    pure table gather/scatter. int16 when the table is small enough (the
+    usual 2500-entry QProfile), halving HBM index traffic."""
+
+    flat1: jnp.ndarray  # [Hp, L] int16/int32
+    flat2: Optional[jnp.ndarray]  # paired: mate2 indices
+
+
+def precompute_profile_indices(
+    cfg: KernelConfig,
+    ref: RefDevice,
+    m1: ReadsDevice,
+    m2: Optional[ReadsDevice],
+    hits: HitsDevice,
+) -> PreIdx:
+    pro_size = cfg.pro_len * 25
+    idt = jnp.int16 if pro_size < 32768 else jnp.int32
+
+    def chunk_fn(args):
+        if cfg.paired:
+            rid, sid, dirs, pos, ins = args
+        else:
+            rid, sid, dirs, pos = args
+        tl = ref.tot_len[sid]
+        f1, _ = profile_indices(
+            cfg, ref, m1.codes[rid], m1.quals[rid] if cfg.has_qual else None,
+            m1.lens[rid], sid, pos, dirs,
+        )
+        if not cfg.paired:
+            return f1.astype(idt)
+        f2, _ = profile_indices(
+            cfg, ref, m2.codes[rid], m2.quals[rid] if cfg.has_qual else None,
+            m2.lens[rid], sid, tl - pos - ins, 1 - dirs,
+        )
+        return f1.astype(idt), f2.astype(idt)
+
+    arrays = (hits.rid, hits.sid, hits.dir, hits.pos)
+    if cfg.paired:
+        arrays = arrays + (hits.insert_len,)
+    out = map_hit_chunks(chunk_fn, hits.rid.shape[0], arrays)
+    if cfg.paired:
+        return PreIdx(flat1=out[0], flat2=out[1])
+    return PreIdx(flat1=out, flat2=None)
+
+
+def preidx_bytes(cfg: KernelConfig, n_hits_padded: int) -> int:
+    """HBM footprint of PreIdx for gating (engine/em.py)."""
+    pro_size = cfg.pro_len * 25
+    per = 2 if pro_size < 32768 else 4
+    mates = 2 if cfg.paired else 1
+    return n_hits_padded * cfg.max_read_len * per * mates
+
+
 # --------------------------------------------------------------------- #
 # conprb                                                                 #
 # --------------------------------------------------------------------- #
@@ -166,11 +236,21 @@ def compute_log_conprb(
     m2: Optional[ReadsDevice],
     hits: HitsDevice,
     model: Dict[str, jnp.ndarray],
+    pre: Optional[PreIdx] = None,
 ) -> jnp.ndarray:
-    """[H] float32 log conprb; -inf encodes the reference's exact zeros."""
+    """[H] float32 log conprb; -inf encodes the reference's exact zeros.
+
+    With `pre` (precompute_profile_indices), the profile term reads the
+    frozen [H, L] table indices instead of re-walking the reference."""
     log_pro_flat = model["log_pro"].reshape(-1).astype(jnp.float32)
 
     def chunk_fn(args):
+        pf1 = pf2 = None
+        if pre is not None:
+            if cfg.paired:
+                args, pf1, pf2 = args[:-2], args[-2], args[-1]
+            else:
+                args, pf1 = args[:-1], args[-1]
         if cfg.paired:
             rid, sid, dirs, pos, ins, valid = args
         else:
@@ -208,16 +288,21 @@ def compute_log_conprb(
                     model["log_mld_pdf"], model["log_mld_cdf"],
                     cfg.mld_lb, cfg.mld_ub, l1, ins,
                 )
-                + _profile_logprob(cfg, log_pro_flat, ref, c1, q1, l1, sid, pos, dirs)
+                + (_profile_logprob_pre(log_pro_flat, pf1, l1)
+                   if pf1 is not None else
+                   _profile_logprob(cfg, log_pro_flat, ref, c1, q1, l1, sid,
+                                    pos, dirs))
                 + log_lendist_adjusted(
                     model["log_mld_pdf"], model["log_mld_cdf"],
                     cfg.mld_lb, cfg.mld_ub, l2, ins,
                 )
-                + _profile_logprob(
-                    cfg, log_pro_flat, ref, m2.codes[rid],
-                    m2.quals[rid] if cfg.has_qual else None, l2, sid,
-                    tl - pos - ins, 1 - dirs,
-                )
+                + (_profile_logprob_pre(log_pro_flat, pf2, l2)
+                   if pf2 is not None else
+                   _profile_logprob(
+                       cfg, log_pro_flat, ref, m2.codes[rid],
+                       m2.quals[rid] if cfg.has_qual else None, l2, sid,
+                       tl - pos - ins, 1 - dirs,
+                   ))
             )
         else:
             fpos = jnp.where(dirs == 1, tl - pos - l1, pos)
@@ -262,8 +347,11 @@ def compute_log_conprb(
                         model["rspd_cdf"].astype(jnp.float32), fpos, effL, fl,
                     )
                 )
-            lp = log_ori[dirs] + log_v + _profile_logprob(
-                cfg, log_pro_flat, ref, c1, q1, l1, sid, pos, dirs
+            lp = log_ori[dirs] + log_v + (
+                _profile_logprob_pre(log_pro_flat, pf1, l1)
+                if pf1 is not None else
+                _profile_logprob(cfg, log_pro_flat, ref, c1, q1, l1, sid,
+                                 pos, dirs)
             )
 
         lp = jnp.where(masked | lq | ~valid, NEG_INF, lp)
@@ -276,6 +364,10 @@ def compute_log_conprb(
     if cfg.paired:
         arrays = arrays + (hits.insert_len,)
     arrays = arrays + (hits.valid,)
+    if pre is not None:
+        arrays = arrays + (pre.flat1,)
+        if cfg.paired:
+            arrays = arrays + (pre.flat2,)
     return map_hit_chunks(chunk_fn, hits.rid.shape[0], arrays)
 
 

@@ -63,7 +63,14 @@ MAX_M_FOR_PALLAS = 512 * 128 - 1
 
 
 class PallasRoundData(NamedTuple):
-    """Static per-dataset device arrays (one entry per non-empty bucket)."""
+    """Static per-dataset device arrays (one entry per non-empty bucket).
+
+    Registered as a custom pytree (below) whose int metadata (ks,
+    table_rows, M, ...) is aux_data: the kernel grid and VMEM table shapes
+    are sized from those ints, so they must stay concrete when a
+    PallasRoundData is passed through jax.jit as an ARGUMENT — which is
+    the right way to pass it (closure capture would embed the ~tens-of-MB
+    tiles as program constants in every compile request)."""
 
     sid_t: Tuple[jnp.ndarray, ...]  # [X, 128] int32 (pad: 0)
     cps_t: Tuple[jnp.ndarray, ...]  # [X, 128] f32 (pad: 0)
@@ -71,11 +78,34 @@ class PallasRoundData(NamedTuple):
     ks: Tuple[int, ...]  # bucket width K (pow2)
     restore_bidx: jnp.ndarray  # [H] int32 bucket index of each orig hit
     restore_slot: jnp.ndarray  # [H] int32 flat slot within its bucket
-    restore_read: Tuple[np.ndarray, ...]  # per bucket orig read ids
+    restore_read: Tuple[jnp.ndarray, ...]  # per bucket orig read ids (i32)
     table_rows: int  # T = ceil((M+1)/128)
     n_reads: int
     M: int
     n0: float
+
+
+def _prd_flatten(d: "PallasRoundData"):
+    leaves = (d.sid_t, d.cps_t, d.ncs_t, d.restore_bidx, d.restore_slot,
+              d.restore_read)
+    aux = (d.ks, d.table_rows, d.n_reads, d.M, d.n0)
+    return leaves, aux
+
+
+def _prd_unflatten(aux, leaves):
+    ks, table_rows, n_reads, M, n0 = aux
+    sid_t, cps_t, ncs_t, restore_bidx, restore_slot, restore_read = leaves
+    return PallasRoundData(
+        sid_t=sid_t, cps_t=cps_t, ncs_t=ncs_t, ks=ks,
+        restore_bidx=restore_bidx, restore_slot=restore_slot,
+        restore_read=restore_read, table_rows=table_rows,
+        n_reads=n_reads, M=M, n0=n0,
+    )
+
+
+jax.tree_util.register_pytree_node(
+    PallasRoundData, _prd_flatten, _prd_unflatten
+)
 
 
 def scale_conprbs(hits, log_conprb: np.ndarray, log_ncp: np.ndarray):
@@ -163,7 +193,7 @@ def build_pallas_data(
         sid_tiles.append(jnp.asarray(sid_m.reshape(X, 128)))
         cps_tiles.append(jnp.asarray(cps_m.reshape(X, 128)))
         ncs_tiles.append(jnp.asarray(ncs_m.reshape(X, 128)))
-        restore_read.append(rsel)
+        restore_read.append(jnp.asarray(rsel.astype(np.int32)))
         ks.append(K)
 
     return PallasRoundData(
@@ -428,12 +458,25 @@ def pallas_final_fracs(theta: jnp.ndarray, data: PallasRoundData):
             nf_read = nf.reshape(-1, K)[:, 0]
         else:
             nf_read = nf.reshape(-1, K)[:, 0]
-        idx = jnp.asarray(rsel.astype(np.int32))
+        idx = rsel.astype(jnp.int32)
         noise_read = noise_read.at[idx].set(nf_read[: idx.shape[0]])
 
     sizes = [p.shape[0] for p in flat_parts]
     starts = np.concatenate([[0], np.cumsum(sizes)])
     flat = jnp.concatenate(flat_parts) if len(flat_parts) > 1 else flat_parts[0]
-    base = jnp.asarray(starts[:-1], dtype=jnp.int64)
-    frac = flat[data.restore_slot.astype(jnp.int64) + base[data.restore_bidx]]
+    base = jnp.asarray(starts[:-1], dtype=jnp.int32)
+    frac = flat[data.restore_slot.astype(jnp.int32) + base[data.restore_bidx]]
     return frac, noise_read
+
+
+# module-level jitted entry points: one persistent jit cache per process
+# (a fresh jax.jit wrapper per run_em call would re-trace every time);
+# min/max_round are static so the while_loop bounds stay Python ints
+@partial(jax.jit, static_argnums=(3, 4))
+def jit_pallas_loop(theta0, data: PallasRoundData, start_round,
+                    min_round: int, max_round: int):
+    return run_pallas_em_loop(theta0, data, min_round=min_round,
+                              max_round=max_round, start_round=start_round)
+
+
+jit_pallas_final_fracs = jax.jit(pallas_final_fracs)

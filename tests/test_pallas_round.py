@@ -111,3 +111,32 @@ def test_final_fracs_match():
     np.testing.assert_allclose(
         np.asarray(fn_new), np.asarray(fn_ref), rtol=2e-5, atol=1e-7
     )
+
+
+def test_loop_jitted_like_engine():
+    """Regression: the engine jits run_pallas_em_loop with pdata as an
+    ARGUMENT, relying on PallasRoundData's custom pytree to keep its int
+    metadata (table_rows, M, ks) concrete (aux_data). Without the pytree
+    registration those ints trace to i32 tracers and shape computation
+    breaks — this test mirrors the engine's dispatch so that regression
+    is caught on CPU."""
+    from functools import partial
+
+    import jax
+
+    hits, lcp, lnp = _synthetic(N=200, M=90, seed=11)
+    M = 90
+    pdata = build_pallas_data(hits, lcp, lnp, M, 1.0)
+    theta0 = jnp.full((M + 1,), 1.0 / (M + 1), dtype=jnp.float32)
+    loop_fn = jax.jit(
+        partial(run_pallas_em_loop, max_round=30, interpret=True)
+    )
+    t_new, c_new, r_new = loop_fn(
+        theta0, pdata, start_round=jnp.asarray(0, dtype=jnp.int32)
+    )
+    fdata = build_fast_data(hits, lcp, lnp, M, 1.0)
+    t_ref, c_ref, r_ref = run_fast_em_loop(theta0, fdata, max_round=30)
+    assert int(r_new) == int(r_ref)
+    np.testing.assert_allclose(
+        np.asarray(t_new), np.asarray(t_ref), rtol=5e-4, atol=1e-8
+    )

@@ -1,0 +1,87 @@
+"""Parity of the precomputed-index conprb/suffstats paths and the one-hot
+MXU scatter against their direct formulations (see ops/conprb.PreIdx and
+ops/estep.onehot_scatter — the round-3 model-round fast path)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rsem_tpu.ops import (
+    HitsDevice,
+    KernelConfig,
+    ReadsDevice,
+    RefDevice,
+    compute_log_conprb,
+)
+from rsem_tpu.ops.conprb import precompute_profile_indices, preidx_bytes
+from rsem_tpu.ops.estep import estep_fracs, onehot_scatter, suffstats
+from rsem_tpu.testing import synthetic_arrays_fast
+
+
+@pytest.mark.parametrize("size", [7, 129, 2500, 20001])
+def test_onehot_scatter_matches_scatter_add(size):
+    rng = np.random.default_rng(size)
+    n = 10_000
+    flat = rng.integers(0, size, size=n).astype(np.int32)
+    w = rng.random(n, dtype=np.float32)
+    # padding lanes must contribute zero
+    w[-5:] = 0.0
+    got = np.asarray(onehot_scatter(jnp.asarray(flat), jnp.asarray(w), size))
+    want = np.zeros(size, dtype=np.float64)
+    np.add.at(want, flat, w.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("paired", [False, True])
+def test_conprb_and_suffstats_with_preidx_match(paired):
+    ref, bundle, spec, model = synthetic_arrays_fast(
+        n_reads=400, M=60, read_len=36, tx_len=400,
+        paired=paired, has_qual=True, mean_extra_hits=1.0, seed=3,
+    )
+    refd = RefDevice.from_reference(ref)
+    if paired:
+        m1 = ReadsDevice.from_arrays(bundle.reads.mate1)
+        m2 = ReadsDevice.from_arrays(bundle.reads.mate2)
+    else:
+        m1 = ReadsDevice.from_arrays(bundle.reads)
+        m2 = None
+    hd = HitsDevice.from_arrays(bundle.hits)
+    maxL = m1.codes.shape[1] if m2 is None else max(
+        m1.codes.shape[1], m2.codes.shape[1])
+    if m2 is not None and m1.codes.shape[1] != m2.codes.shape[1]:
+        padL = maxL - m2.codes.shape[1]
+        m2 = m2._replace(codes=jnp.pad(m2.codes, ((0, 0), (0, padL))),
+                         quals=jnp.pad(m2.quals, ((0, 0), (0, padL))))
+        padL1 = maxL - m1.codes.shape[1]
+        m1 = m1._replace(codes=jnp.pad(m1.codes, ((0, 0), (0, padL1))),
+                         quals=jnp.pad(m1.quals, ((0, 0), (0, padL1))))
+    kcfg = KernelConfig.from_model(model, maxL)
+    dm = {k: jnp.asarray(v, dtype=jnp.float32)
+          for k, v in model.device_arrays().items()}
+
+    pre = jax.jit(lambda r, a, b, h: precompute_profile_indices(
+        kcfg, r, a, b, h))(refd, m1, m2, hd)
+    assert preidx_bytes(kcfg, int(hd.rid.shape[0])) > 0
+
+    lcp_direct = compute_log_conprb(kcfg, refd, m1, m2, hd, dm)
+    lcp_pre = compute_log_conprb(kcfg, refd, m1, m2, hd, dm, pre=pre)
+    np.testing.assert_allclose(
+        np.asarray(lcp_pre), np.asarray(lcp_direct), rtol=1e-6, atol=1e-5
+    )
+
+    n_reads = m1.lens.shape[0]
+    M = ref.M
+    lt = jnp.full((M + 1,), -np.log(M + 1), jnp.float32)
+    lnp = jnp.zeros((n_reads,), jnp.float32)
+    out = estep_fracs(lt, hd.sid, hd.rid, lcp_direct, lnp, n_reads, M)
+    s_direct = suffstats(kcfg, refd, m1, m2, hd, out.frac_hit,
+                         out.frac_noise, dm, float(spec.probF))
+    s_pre = suffstats(kcfg, refd, m1, m2, hd, out.frac_hit, out.frac_noise,
+                      dm, float(spec.probF), pre=pre)
+    assert set(s_pre) == set(s_direct)
+    for k in s_direct:
+        np.testing.assert_allclose(
+            np.asarray(s_pre[k]), np.asarray(s_direct[k]),
+            rtol=2e-5, atol=1e-4, err_msg=k,
+        )

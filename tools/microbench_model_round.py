@@ -52,17 +52,20 @@ def main():
         lt, hd.sid, hd.rid, lc, ln, n_reads, M))
     out = timeit("estep_fracs", estep_jit, log_theta, lcp, lnp)
 
-    suff_jit = jax.jit(lambda fh, fn_: suffstats(
-        kcfg, refd, m1, None, hd, fh, fn_, dm, 0.5))
-    timeit("suffstats", suff_jit, out.frac_hit, out.frac_noise)
+    # big arrays must be jit ARGUMENTS: closure-captured device constants
+    # are serialized into the compile request (HTTP 413 on remote compile)
+    suff_jit = jax.jit(lambda refd_, m1_, hd_, fh, fn_, dm_: suffstats(
+        kcfg, refd_, m1_, None, hd_, fh, fn_, dm_, 0.5))
+    timeit("suffstats", suff_jit, refd, m1, hd, out.frac_hit,
+           out.frac_noise, dm)
 
-    full = jax.jit(lambda lt: (lambda o: suffstats(
-        kcfg, refd, m1, None, hd, o.frac_hit, o.frac_noise, dm, 0.5))(
-        estep_fracs(lt, hd.sid, hd.rid,
-                    compute_log_conprb(kcfg, refd, m1, None, hd, dm),
-                    compute_log_noise_conprb(kcfg, m1, None, dm),
+    full = jax.jit(lambda refd_, m1_, hd_, dm_, lt: (lambda o: suffstats(
+        kcfg, refd_, m1_, None, hd_, o.frac_hit, o.frac_noise, dm_, 0.5))(
+        estep_fracs(lt, hd_.sid, hd_.rid,
+                    compute_log_conprb(kcfg, refd_, m1_, None, hd_, dm_),
+                    compute_log_noise_conprb(kcfg, m1_, None, dm_),
                     n_reads, M)))
-    timeit("fused full model round", full, log_theta)
+    timeit("fused full model round", full, refd, m1, hd, dm, log_theta)
 
 
 if __name__ == "__main__":

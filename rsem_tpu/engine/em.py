@@ -431,7 +431,8 @@ def _run_em_device(model, ref, bundle, em_cfg, need_posteriors) -> EMResult:
 
     pre_budget = int(_os.environ.get("RSEM_TPU_PREIDX_BUDGET",
                                      6 * 1024**3))
-    if preidx_bytes(kcfg, int(hd.rid.shape[0])) <= pre_budget:
+    if preidx_bytes(kcfg, int(hd.rid.shape[0]),
+                    int(m1.lens.shape[0])) <= pre_budget:
         pre = jax.jit(partial(precompute_profile_indices, kcfg))(
             refd, m1, m2, hd
         )
@@ -458,7 +459,7 @@ def _run_em_device(model, ref, bundle, em_cfg, need_posteriors) -> EMResult:
     dev_model = to_dev(model.device_arrays())
     clock.lap("setup+H2D")
     log_conprb = conprb_fn(refd, m1, m2, hd, dev_model, pre)
-    log_ncp = ncp_fn(m1, m2, dev_model)
+    log_ncp = ncp_fn(m1, m2, dev_model, pre)
 
     rounds = 0
     while rounds < em_cfg.update_model_rounds and rounds < em_cfg.max_round:
@@ -474,7 +475,7 @@ def _run_em_device(model, ref, bundle, em_cfg, need_posteriors) -> EMResult:
         dev_model = to_dev(model.device_arrays())
         clock.lap("model: host refit")
         log_conprb = conprb_fn(refd, m1, m2, hd, dev_model, pre)
-        log_ncp = ncp_fn(m1, m2, dev_model)
+        log_ncp = ncp_fn(m1, m2, dev_model, pre)
         new_theta = fetch64(new_theta)
         clock.lap("model: theta fetch")
         bchg, _ = _bchange(new_theta, theta)

@@ -156,16 +156,6 @@ def _profile_logprob(cfg, log_pro_flat, ref, read_codes, read_quals, read_lens,
     return jnp.sum(jnp.where(valid, vals, 0.0), axis=1)
 
 
-def _profile_logprob_pre(log_pro_flat, flat, read_lens):
-    """Profile term from PRECOMPUTED flat indices (see PreIdx): just the
-    table gather + masked positional sum — no reference-sequence walk."""
-    vals = gather_rows(
-        log_pro_flat, flat.astype(jnp.int32).reshape(-1)
-    ).reshape(flat.shape)
-    j = jnp.arange(flat.shape[1], dtype=jnp.int32)[None, :]
-    return jnp.sum(jnp.where(j < read_lens[:, None], vals, 0.0), axis=1)
-
-
 class PreIdx(NamedTuple):
     """Round-invariant per-(hit, position) profile-table indices.
 
@@ -174,11 +164,24 @@ class PreIdx(NamedTuple):
     arithmetic over [H, L]) dominates the conprb pass while its RESULT
     never changes across model rounds — only the table values do. Freezing
     the flat indices once turns every later conprb/suffstats pass into a
-    pure table gather/scatter. int16 when the table is small enough (the
-    usual 2500-entry QProfile), halving HBM index traffic."""
+    pure table gather/scatter served by the VMEM-resident Pallas kernels
+    (ops/pallas_table) or an XLA fallback.
 
-    flat1: jnp.ndarray  # [Hp, L] int16/int32
+    Layout contract: [Hp, 128] int32 (position axis padded 128-wide),
+    invalid lanes (past read length, pad columns) carry the SENTINEL slot
+    pro_size — the first zero-padding slot of the padded table, so they
+    gather 0 and scatter into sliced-off slots. No separate validity mask
+    is needed anywhere downstream."""
+
+    flat1: jnp.ndarray  # [Hp, 128] int32, sentinel-masked
     flat2: Optional[jnp.ndarray]  # paired: mate2 indices
+    # per-READ noise-profile indices (same contract, sentinel = npro_size,
+    # rows padded to the kernel tile); None when built by older callers
+    nflat1: Optional[jnp.ndarray] = None
+    nflat2: Optional[jnp.ndarray] = None
+
+
+PRE_COLS = 128  # PreIdx position-axis width (lane-aligned)
 
 
 def precompute_profile_indices(
@@ -189,7 +192,15 @@ def precompute_profile_indices(
     hits: HitsDevice,
 ) -> PreIdx:
     pro_size = cfg.pro_len * 25
-    idt = jnp.int16 if pro_size < 32768 else jnp.int32
+    sentinel = jnp.int32(pro_size)
+    padC = PRE_COLS - cfg.max_read_len
+    assert padC >= 0, "read length beyond the 128-wide PreIdx layout"
+
+    def mask_pad(flat, valid):
+        f = jnp.where(valid, flat, sentinel)
+        if padC:
+            f = jnp.pad(f, ((0, 0), (0, padC)), constant_values=pro_size)
+        return f.astype(jnp.int32)
 
     def chunk_fn(args):
         if cfg.paired:
@@ -197,33 +208,100 @@ def precompute_profile_indices(
         else:
             rid, sid, dirs, pos = args
         tl = ref.tot_len[sid]
-        f1, _ = profile_indices(
+        f1, v1 = profile_indices(
             cfg, ref, m1.codes[rid], m1.quals[rid] if cfg.has_qual else None,
             m1.lens[rid], sid, pos, dirs,
         )
         if not cfg.paired:
-            return f1.astype(idt)
-        f2, _ = profile_indices(
+            return mask_pad(f1, v1)
+        f2, v2 = profile_indices(
             cfg, ref, m2.codes[rid], m2.quals[rid] if cfg.has_qual else None,
             m2.lens[rid], sid, tl - pos - ins, 1 - dirs,
         )
-        return f1.astype(idt), f2.astype(idt)
+        return mask_pad(f1, v1), mask_pad(f2, v2)
 
     arrays = (hits.rid, hits.sid, hits.dir, hits.pos)
     if cfg.paired:
         arrays = arrays + (hits.insert_len,)
     out = map_hit_chunks(chunk_fn, hits.rid.shape[0], arrays)
+
+    npro_size = 500 if cfg.has_qual else 5
+    from .pallas_table import ROWS as _ROWS
+
+    def noise_flat(mate: ReadsDevice) -> jnp.ndarray:
+        L = mate.codes.shape[1]
+        j = jnp.arange(L, dtype=jnp.int32)[None, :]
+        readc = mate.codes.astype(jnp.int32)
+        flat = (mate.quals.astype(jnp.int32) * 5 + readc
+                if cfg.has_qual else readc)
+        valid = (j < mate.lens[:, None]) & mate.valid[:, None]
+        f = jnp.where(valid, flat, npro_size).astype(jnp.int32)
+        N = f.shape[0]
+        rpad = -(-N // _ROWS) * _ROWS - N
+        return jnp.pad(f, ((0, rpad), (0, PRE_COLS - L)),
+                       constant_values=npro_size)
+
+    nf1 = noise_flat(m1)
+    nf2 = noise_flat(m2) if cfg.paired else None
     if cfg.paired:
-        return PreIdx(flat1=out[0], flat2=out[1])
-    return PreIdx(flat1=out, flat2=None)
+        return PreIdx(flat1=out[0], flat2=out[1], nflat1=nf1, nflat2=nf2)
+    return PreIdx(flat1=out, flat2=None, nflat1=nf1, nflat2=None)
 
 
-def preidx_bytes(cfg: KernelConfig, n_hits_padded: int) -> int:
+def preidx_bytes(cfg: KernelConfig, n_hits_padded: int,
+                 n_reads: int = 0) -> int:
     """HBM footprint of PreIdx for gating (engine/em.py)."""
-    pro_size = cfg.pro_len * 25
-    per = 2 if pro_size < 32768 else 4
     mates = 2 if cfg.paired else 1
-    return n_hits_padded * cfg.max_read_len * per * mates
+    return (n_hits_padded + n_reads) * PRE_COLS * 4 * mates
+
+
+def padded_table(values_flat: jnp.ndarray, size: int) -> jnp.ndarray:
+    """[t_pad, 128] f32 zero-padded table (sentinel slots read 0)."""
+    from .pallas_table import table_rows_padded
+
+    t_pad = table_rows_padded(size)
+    return jnp.zeros((t_pad * 128,), jnp.float32).at[:size].set(
+        values_flat.astype(jnp.float32)
+    ).reshape(t_pad, 128)
+
+
+def profile_sum_pre(cfg: KernelConfig, log_pro_flat: jnp.ndarray,
+                    flat: jnp.ndarray) -> jnp.ndarray:
+    """[Hp] per-hit profile log-prob from frozen indices: VMEM-table Pallas
+    gather-sum on TPU, widened-row XLA gather elsewhere."""
+    from . import pallas_table as pt
+
+    size = cfg.pro_len * 25
+    table = padded_table(log_pro_flat, size)
+    if pt.kernels_supported(size):
+        return pt.gather_sum(table, flat)
+    vals = gather_rows(
+        table.reshape(-1), flat.reshape(-1).astype(jnp.int32)
+    ).reshape(flat.shape)
+    return jnp.sum(vals, axis=1)
+
+
+def profile_scatter_pre(cfg: KernelConfig, pre: PreIdx,
+                        frac_hit: jnp.ndarray) -> jnp.ndarray:
+    """[pro_size] posterior-weighted profile counts from frozen indices:
+    VMEM-table Pallas scatter on TPU, one-hot MXU contraction elsewhere.
+    Sentinel lanes deposit into sliced-off padding slots."""
+    from . import pallas_table as pt
+
+    size = cfg.pro_len * 25
+
+    def one(flat):
+        if pt.kernels_supported(size):
+            return pt.scatter_add(flat, frac_hit, size)
+        w2d = jnp.broadcast_to(frac_hit[:, None], flat.shape)
+        return pt.onehot_scatter(
+            flat, w2d, pt.table_rows_padded(size) * 128
+        )
+
+    acc = one(pre.flat1)
+    if cfg.paired:
+        acc = acc + one(pre.flat2)
+    return acc[:size]
 
 
 # --------------------------------------------------------------------- #
@@ -240,17 +318,13 @@ def compute_log_conprb(
 ) -> jnp.ndarray:
     """[H] float32 log conprb; -inf encodes the reference's exact zeros.
 
-    With `pre` (precompute_profile_indices), the profile term reads the
-    frozen [H, L] table indices instead of re-walking the reference."""
+    With `pre` (precompute_profile_indices), the profile term is computed
+    OUTSIDE the chunk loop from the frozen sentinel-masked indices — one
+    Pallas gather-sum over the VMEM-resident table (profile_sum_pre) —
+    and the chunked pass only evaluates the cheap per-hit terms."""
     log_pro_flat = model["log_pro"].reshape(-1).astype(jnp.float32)
 
     def chunk_fn(args):
-        pf1 = pf2 = None
-        if pre is not None:
-            if cfg.paired:
-                args, pf1, pf2 = args[:-2], args[-2], args[-1]
-            else:
-                args, pf1 = args[:-1], args[-1]
         if cfg.paired:
             rid, sid, dirs, pos, ins, valid = args
         else:
@@ -288,16 +362,14 @@ def compute_log_conprb(
                     model["log_mld_pdf"], model["log_mld_cdf"],
                     cfg.mld_lb, cfg.mld_ub, l1, ins,
                 )
-                + (_profile_logprob_pre(log_pro_flat, pf1, l1)
-                   if pf1 is not None else
+                + (0.0 if pre is not None else
                    _profile_logprob(cfg, log_pro_flat, ref, c1, q1, l1, sid,
                                     pos, dirs))
                 + log_lendist_adjusted(
                     model["log_mld_pdf"], model["log_mld_cdf"],
                     cfg.mld_lb, cfg.mld_ub, l2, ins,
                 )
-                + (_profile_logprob_pre(log_pro_flat, pf2, l2)
-                   if pf2 is not None else
+                + (0.0 if pre is not None else
                    _profile_logprob(
                        cfg, log_pro_flat, ref, m2.codes[rid],
                        m2.quals[rid] if cfg.has_qual else None, l2, sid,
@@ -348,27 +420,65 @@ def compute_log_conprb(
                     )
                 )
             lp = log_ori[dirs] + log_v + (
-                _profile_logprob_pre(log_pro_flat, pf1, l1)
-                if pf1 is not None else
+                0.0 if pre is not None else
                 _profile_logprob(cfg, log_pro_flat, ref, c1, q1, l1, sid,
                                  pos, dirs)
             )
 
         lp = jnp.where(masked | lq | ~valid, NEG_INF, lp)
-        lp = jnp.where(lp < LOG_EPS, NEG_INF, lp)  # prob < EPSILON -> 0
         log_mw = model["log_mw"].astype(jnp.float32)[sid]
-        lp = jnp.where(log_mw > NEG_INF, lp - log_mw, NEG_INF)
-        return lp
+        if pre is None:
+            lp = jnp.where(lp < LOG_EPS, NEG_INF, lp)  # prob < EPSILON -> 0
+            return jnp.where(log_mw > NEG_INF, lp - log_mw, NEG_INF)
+        # profile term is added outside; defer cutoff + mw to preserve the
+        # reference's op order (cutoff on the FULL product, then /mw)
+        return lp, log_mw
 
     arrays = (hits.rid, hits.sid, hits.dir, hits.pos)
     if cfg.paired:
         arrays = arrays + (hits.insert_len,)
     arrays = arrays + (hits.valid,)
-    if pre is not None:
-        arrays = arrays + (pre.flat1,)
-        if cfg.paired:
-            arrays = arrays + (pre.flat2,)
-    return map_hit_chunks(chunk_fn, hits.rid.shape[0], arrays)
+    out = map_hit_chunks(chunk_fn, hits.rid.shape[0], arrays)
+    if pre is None:
+        return out
+    lp, log_mw = out
+    lp = lp + profile_sum_pre(cfg, log_pro_flat, pre.flat1)
+    if cfg.paired:
+        lp = lp + profile_sum_pre(cfg, log_pro_flat, pre.flat2)
+    lp = jnp.where(lp < LOG_EPS, NEG_INF, lp)
+    return jnp.where(log_mw > NEG_INF, lp - log_mw, NEG_INF)
+
+
+def noise_sum_pre(cfg: KernelConfig, log_npro_flat: jnp.ndarray,
+                  nflat: jnp.ndarray, n_reads: int) -> jnp.ndarray:
+    """[N] per-read noise-profile log-prob from frozen indices (the noise
+    analogue of profile_sum_pre; table 500 entries w/ quals, 5 without)."""
+    from . import pallas_table as pt
+
+    size = 500 if cfg.has_qual else 5
+    table = padded_table(log_npro_flat, size)
+    if pt.kernels_supported(size):
+        return pt.gather_sum(table, nflat)[:n_reads]
+    vals = gather_rows(
+        table.reshape(-1), nflat.reshape(-1).astype(jnp.int32)
+    ).reshape(nflat.shape)
+    return jnp.sum(vals, axis=1)[:n_reads]
+
+
+def noise_scatter_pre(cfg: KernelConfig, nflat: jnp.ndarray,
+                      frac_noise: jnp.ndarray) -> jnp.ndarray:
+    """[npro_size] posterior-weighted noise counts from frozen indices."""
+    from . import pallas_table as pt
+
+    size = 500 if cfg.has_qual else 5
+    w = jnp.pad(frac_noise.astype(jnp.float32),
+                (0, nflat.shape[0] - frac_noise.shape[0]))
+    if pt.kernels_supported(size):
+        return pt.scatter_add(nflat, w, size)[:size]
+    w2d = jnp.broadcast_to(w[:, None], nflat.shape)
+    return pt.onehot_scatter(
+        nflat, w2d, pt.table_rows_padded(size) * 128
+    )[:size]
 
 
 def compute_log_noise_conprb(
@@ -376,9 +486,31 @@ def compute_log_noise_conprb(
     m1: ReadsDevice,
     m2: Optional[ReadsDevice],
     model: Dict[str, jnp.ndarray],
+    pre: Optional[PreIdx] = None,
 ) -> jnp.ndarray:
     """[N] log noise conprb (getNoiseConPrb; mw[0] is always 1)."""
     log_npro = model["log_npro"].reshape(-1).astype(jnp.float32)
+
+    if pre is not None and pre.nflat1 is not None:
+        n = m1.lens.shape[0]
+
+        def len_term(lens):
+            if cfg.paired or cfg.use_mld:
+                return log_lendist_pdf(
+                    model["log_mld_pdf"], cfg.mld_lb, cfg.mld_ub, lens)
+            return log_lendist_pdf(
+                model["log_gld_pdf"], cfg.gld_lb, cfg.gld_ub, lens)
+
+        lp = noise_sum_pre(cfg, log_npro, pre.nflat1, n) + len_term(m1.lens)
+        if cfg.paired:
+            lp = lp + noise_sum_pre(cfg, log_npro, pre.nflat2, n) + len_term(
+                m2.lens)
+            lq = (m1.lq & m2.lq) | (m1.lens < cfg.seed_len) | (
+                m2.lens < cfg.seed_len)
+        else:
+            lq = m1.lq
+        lp = jnp.where(lq | ~m1.valid, NEG_INF, lp)
+        return jnp.where(lp < LOG_EPS, NEG_INF, lp)
 
     def one_mate(codes, quals, lens):
         L = codes.shape[1]

@@ -23,50 +23,12 @@ from .conprb import (
     _ceil_to,
     _pad_chunk,
     map_hit_chunks,
+    noise_scatter_pre,
     profile_indices,
+    profile_scatter_pre,
 )
+from .pallas_table import onehot_scatter
 from .layout import HitsDevice, KernelConfig, ReadsDevice, RefDevice
-
-
-def onehot_scatter(flat: jnp.ndarray, w: jnp.ndarray, size: int,
-                   block: int = 1 << 15) -> jnp.ndarray:
-    """counts[t] = sum_i w[i] * [flat[i] == t], as two iota-compare one-hot
-    factors contracted on the MXU.
-
-    XLA lowers scatter-add on TPU to a serialized pass (~28 ns/element
-    measured on the 2500-entry profile table — 7 s per model round at
-    bench scale); the one-hot contraction runs at MXU/HBM rate instead.
-    Split t = hi*128 + lo: per block  a[hi, s] = w[s]*[flat[s]>>7 == hi],
-    b[s, lo] = [flat[s]&127 == lo],  acc += a @ b  ([t_rows, 128]).
-    Accumulation order differs from scatter-add only in f32 rounding.
-    Padding lanes must carry w == 0 (flat pad lands on t=0 with weight 0).
-    Reference op: the suffstat collect loops of SingleModel.h:163-209."""
-    t_rows = -(-size // 128)
-    flat = flat.reshape(-1).astype(jnp.int32)
-    w = w.reshape(-1).astype(jnp.float32)
-    S = flat.shape[0]
-    # keep a's [t_rows, block] working set bounded for big tables
-    block = min(block, max(512, ((1 << 23) // max(t_rows, 1)) // 128 * 128))
-    Sp = max(_ceil_to(S, block), block)
-    fl2 = _pad_chunk(flat, Sp, 0).reshape(-1, block)
-    w2 = _pad_chunk(w, Sp, 0).reshape(-1, block)
-    iota_t = jnp.arange(t_rows, dtype=jnp.int32)[:, None]
-    iota_l = jnp.arange(128, dtype=jnp.int32)[None, :]
-
-    def body(acc, args):
-        f, ww = args
-        hi = jax.lax.shift_right_logical(f, 7)
-        lo = jax.lax.bitwise_and(f, jnp.int32(127))
-        a = jnp.where(hi[None, :] == iota_t, ww[None, :], 0.0)
-        b = (lo[:, None] == iota_l).astype(jnp.float32)
-        return acc + jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ), None
-
-    acc0 = jnp.zeros((t_rows, 128), jnp.float32)
-    acc, _ = jax.lax.scan(body, acc0, (fl2, w2))
-    return acc.reshape(-1)[:size]
 
 
 def map_chunks_reduce(fn, n: int, arrays, chunk: int = CHUNK):
@@ -162,55 +124,44 @@ def suffstats(
     out: Dict[str, jnp.ndarray] = {}
     pro_size = cfg.pro_len * 25
 
-    def pro_chunk(args):
-        pf1 = pf2 = None
-        if pre is not None:
+    if pre is not None:
+        # frozen sentinel-masked indices: one scatter over ALL hits with
+        # the per-hit posterior as the row weight (sentinel lanes land in
+        # sliced-off padding slots); VMEM-table Pallas kernel on TPU
+        out["pro"] = profile_scatter_pre(
+            cfg, pre, frac_hit.astype(jnp.float32)
+        ).reshape(cfg.pro_len, 5, 5)
+    else:
+        def pro_chunk(args):
             if cfg.paired:
-                args, pf1, pf2 = args[:-2], args[-2], args[-1]
+                rid, sid, dirs, pos, ins, frac = args
             else:
-                args, pf1 = args[:-1], args[-1]
-        if cfg.paired:
-            rid, sid, dirs, pos, ins, frac = args
-        else:
-            rid, sid, dirs, pos, frac = args
-            ins = None
-        tl = ref.tot_len[sid]
-        L = cfg.max_read_len
-        j = jnp.arange(L, dtype=jnp.int32)[None, :]
-        if pf1 is not None:
-            flat, valid = pf1.astype(jnp.int32), j < m1.lens[rid][:, None]
-        else:
+                rid, sid, dirs, pos, frac = args
+                ins = None
+            tl = ref.tot_len[sid]
             flat, valid = profile_indices(
                 cfg, ref, m1.codes[rid],
                 m1.quals[rid] if cfg.has_qual else None,
                 m1.lens[rid], sid, pos, dirs,
             )
-        w = jnp.where(valid, frac[:, None], 0.0)
-        acc = onehot_scatter(flat, w, pro_size)
-        if cfg.paired:
-            if pf2 is not None:
-                flat2, valid2 = (pf2.astype(jnp.int32),
-                                 j < m2.lens[rid][:, None])
-            else:
+            w = jnp.where(valid, frac[:, None], 0.0)
+            acc = onehot_scatter(flat, w, pro_size)
+            if cfg.paired:
                 flat2, valid2 = profile_indices(
                     cfg, ref, m2.codes[rid],
                     m2.quals[rid] if cfg.has_qual else None,
                     m2.lens[rid], sid, tl - pos - ins, 1 - dirs,
                 )
-            w2 = jnp.where(valid2, frac[:, None], 0.0)
-            acc = acc + onehot_scatter(flat2, w2, pro_size)
-        return acc
+                w2 = jnp.where(valid2, frac[:, None], 0.0)
+                acc = acc + onehot_scatter(flat2, w2, pro_size)
+            return acc
 
-    arrays = (hits.rid, hits.sid, hits.dir, hits.pos)
-    if cfg.paired:
-        arrays = arrays + (hits.insert_len,)
-    arrays = arrays + (frac_hit,)
-    if pre is not None:
-        arrays = arrays + (pre.flat1,)
+        arrays = (hits.rid, hits.sid, hits.dir, hits.pos)
         if cfg.paired:
-            arrays = arrays + (pre.flat2,)
-    pro_counts = map_chunks_reduce(pro_chunk, hits.rid.shape[0], arrays)
-    out["pro"] = pro_counts.reshape(cfg.pro_len, 5, 5)
+            arrays = arrays + (hits.insert_len,)
+        arrays = arrays + (frac_hit,)
+        pro_counts = map_chunks_reduce(pro_chunk, hits.rid.shape[0], arrays)
+        out["pro"] = pro_counts.reshape(cfg.pro_len, 5, 5)
 
     # noise sufficient statistics from alignable reads (updateNoise)
     npro_size = 500 if cfg.has_qual else 5
@@ -227,9 +178,15 @@ def suffstats(
         w = jnp.where(valid, frac_noise[:, None], 0.0)
         return onehot_scatter(flat, w, npro_size)
 
-    npro_counts = npro_for(m1)
-    if cfg.paired:
-        npro_counts = npro_counts + npro_for(m2)
+    if pre is not None and pre.nflat1 is not None:
+        npro_counts = noise_scatter_pre(cfg, pre.nflat1, frac_noise)
+        if cfg.paired:
+            npro_counts = npro_counts + noise_scatter_pre(
+                cfg, pre.nflat2, frac_noise)
+    else:
+        npro_counts = npro_for(m1)
+        if cfg.paired:
+            npro_counts = npro_counts + npro_for(m2)
     out["npro"] = (
         npro_counts.reshape(100, 5) if cfg.has_qual else npro_counts
     )

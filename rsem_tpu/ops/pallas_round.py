@@ -295,6 +295,7 @@ def _round_kernel(
             a, b,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [t_pad, 128]
     yc = upd - comp_ref[:]
     tc = contrib_ref[:] + yc

@@ -85,3 +85,33 @@ def test_conprb_and_suffstats_with_preidx_match(paired):
             np.asarray(s_pre[k]), np.asarray(s_direct[k]),
             rtol=2e-5, atol=1e-4, err_msg=k,
         )
+
+
+def test_pallas_table_kernels_interpret_parity():
+    """VMEM-table gather-sum / scatter-add vs their XLA formulations
+    (interpret mode; compiled parity is exercised on the TPU bench)."""
+    from rsem_tpu.ops import pallas_table as pt
+
+    rng = np.random.default_rng(7)
+    size = 900  # no-qual-style table, t_pad 8
+    X = 64
+    flat = rng.integers(0, size + 1, size=(X, 128)).astype(np.int32)
+    table_vals = rng.normal(-3.0, 1.0, size).astype(np.float32)
+    t_pad = pt.table_rows_padded(size)
+    table = np.zeros(t_pad * 128, dtype=np.float32)
+    table[:size] = table_vals
+    got = np.asarray(pt.gather_sum(
+        jnp.asarray(table).reshape(t_pad, 128), jnp.asarray(flat),
+        interpret=True,
+    ))
+    want = table[flat].sum(axis=1)
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-4)
+
+    w = rng.random(X, dtype=np.float32)
+    got_s = np.asarray(pt.scatter_add(
+        jnp.asarray(flat), jnp.asarray(w), size, interpret=True,
+    ))
+    want_s = np.zeros(t_pad * 128)
+    np.add.at(want_s, flat.reshape(-1),
+              np.repeat(w, 128).astype(np.float64))
+    np.testing.assert_allclose(got_s, want_s, rtol=2e-5, atol=1e-5)

@@ -44,8 +44,24 @@ def main():
 
     conprb_fn = jax.jit(partial(compute_log_conprb, kcfg))
     ncp_fn = jax.jit(partial(compute_log_noise_conprb, kcfg))
-    lcp = timeit("conprb", conprb_fn, refd, m1, None, hd, dm)
+    lcp = timeit("conprb (direct)", conprb_fn, refd, m1, None, hd, dm)
     lnp = timeit("noise conprb", ncp_fn, m1, None, dm)
+
+    from rsem_tpu.ops.conprb import precompute_profile_indices
+    pre_fn = jax.jit(partial(precompute_profile_indices, kcfg))
+    pre = timeit("precompute indices", pre_fn, refd, m1, None, hd, iters=1)
+    lcp2 = timeit("conprb (preidx)", conprb_fn, refd, m1, None, hd, dm, pre)
+
+    from rsem_tpu.ops.fast_estep import gather_rows
+    flat_all = pre.flat1.reshape(-1).astype(jnp.int32)
+    gr = jax.jit(lambda t, ix: gather_rows(t, ix))
+    table = dm["log_pro"].reshape(-1).astype(jnp.float32)
+    timeit("  gather_rows 250M/2.5k", gr, table, flat_all)
+
+    from rsem_tpu.ops.estep import onehot_scatter
+    osc = jax.jit(lambda f, w: onehot_scatter(f, w, 2500))
+    wts = jnp.ones_like(flat_all, dtype=jnp.float32)
+    timeit("  onehot_scatter 250M/2.5k", osc, flat_all, wts)
 
     log_theta = jnp.full((M + 1,), -np.log(M + 1), jnp.float32)
     estep_jit = jax.jit(lambda lt, lc, ln: estep_fracs(
@@ -56,8 +72,13 @@ def main():
     # are serialized into the compile request (HTTP 413 on remote compile)
     suff_jit = jax.jit(lambda refd_, m1_, hd_, fh, fn_, dm_: suffstats(
         kcfg, refd_, m1_, None, hd_, fh, fn_, dm_, 0.5))
-    timeit("suffstats", suff_jit, refd, m1, hd, out.frac_hit,
+    timeit("suffstats (direct)", suff_jit, refd, m1, hd, out.frac_hit,
            out.frac_noise, dm)
+
+    suffp_jit = jax.jit(lambda refd_, m1_, hd_, fh, fn_, dm_, p: suffstats(
+        kcfg, refd_, m1_, None, hd_, fh, fn_, dm_, 0.5, pre=p))
+    timeit("suffstats (preidx)", suffp_jit, refd, m1, hd, out.frac_hit,
+           out.frac_noise, dm, pre)
 
     full = jax.jit(lambda refd_, m1_, hd_, dm_, lt: (lambda o: suffstats(
         kcfg, refd_, m1_, None, hd_, o.frac_hit, o.frac_noise, dm_, 0.5))(

@@ -144,6 +144,13 @@ def _run_fast_loop(theta, bundle, lcp_np, lnp_np, M, N0, em_cfg, rounds):
                 jnp.asarray(rounds, dtype=jnp.int32),
                 em_cfg.min_round, em_cfg.max_round,
             )
+            # JAX dispatch is async (and on the axon platform
+            # block_until_ready returns at dispatch): force execution via a
+            # scalar fetch so RUNTIME Mosaic/driver failures surface inside
+            # this try block and hit the XLA fallback too (advisor r3)
+            from ..utils.jaxinit import sync as _sync
+
+            _sync(theta_dev, rounds_dev)
         except Exception as exc:  # Mosaic/driver regression: XLA fallback
             if em_cfg.fast_kernel == "pallas":
                 raise
@@ -417,7 +424,15 @@ def _run_em_device(model, ref, bundle, em_cfg, need_posteriors) -> EMResult:
                 if r.quals is not None else None,
             )
         m1, m2 = _repad(m1), _repad(m2)
-    kcfg = KernelConfig.from_model(model, max_read_len)
+    # effective key-window bound for the PreIdx table kernels: quality
+    # codes actually present (host numpy max; ops/layout.KernelConfig)
+    qmax = None
+    if spec.has_qual:
+        r1 = bundle.reads.mate1 if spec.paired else bundle.reads
+        qmax = int(np.max(r1.quals)) if r1.quals is not None else None
+        if spec.paired and bundle.reads.mate2.quals is not None:
+            qmax = max(qmax or 0, int(np.max(bundle.reads.mate2.quals)))
+    kcfg = KernelConfig.from_model(model, max_read_len, qmax=qmax)
     n_reads = m1.lens.shape[0]
 
     conprb_fn = jax.jit(partial(compute_log_conprb, kcfg))
@@ -458,30 +473,72 @@ def _run_em_device(model, ref, bundle, em_cfg, need_posteriors) -> EMResult:
     theta = _theta_init(cnt, M)
     dev_model = to_dev(model.device_arrays())
     clock.lap("setup+H2D")
-    log_conprb = conprb_fn(refd, m1, m2, hd, dev_model, pre)
-    log_ncp = ncp_fn(m1, m2, dev_model, pre)
 
+    n_model_rounds = min(em_cfg.update_model_rounds, em_cfg.max_round)
+    from ..ops.model_loop import fused_supported
+
+    fused = (
+        pre is not None
+        and n_model_rounds > 0
+        and fused_supported(kcfg, model.spec.has_polya)
+        and _os.environ.get("RSEM_TPU_FUSED_MODEL", "1") != "0"
+    )
     rounds = 0
-    while rounds < em_cfg.update_model_rounds and rounds < em_cfg.max_round:
-        rounds += 1
-        log_theta = jnp.asarray(_safe_log_np(theta), dtype=jnp.float32)
-        new_theta, counts, suff = round_fn(
-            log_theta, log_conprb, log_ncp, dev_model, refd, m1, m2, hd, pre
+    if fused:
+        # all model-update rounds in ONE on-device fori_loop: no per-round
+        # host sync/refit/re-upload (the r3 profile's 27.5s); the float64
+        # reference finish runs once on the final round's statistics
+        from ..ops.model_loop import (
+            jit_build_model_loop_data,
+            jit_model_loop,
+            tables_from_model,
         )
-        clock.lap("model: dispatch")
+
+        mdata = jit_build_model_loop_data(
+            kcfg, refd, m1, m2, hd, pre, dev_model,
+            jnp.asarray(bundle.hits.read_offsets, dtype=jnp.int32),
+            jnp.asarray(np.asarray(model.npro.c).reshape(-1),
+                        dtype=jnp.float32),
+            jnp.asarray(float(N0), dtype=jnp.float32),
+        )
+        theta_dev, suff = jit_model_loop(
+            kcfg, mdata, tables_from_model(kcfg, dev_model),
+            jnp.asarray(theta, dtype=jnp.float32), n_model_rounds,
+            n_reads, M,
+        )
         suff_np = {k: fetch64(v) for k, v in suff.items()}
-        clock.lap("model: conprb+estep+suff (sync at fetch)")
+        clock.lap("model: fused device loop (sync at fetch)")
         model.finish_round(suff_np)
         dev_model = to_dev(model.device_arrays())
-        clock.lap("model: host refit")
+        theta = fetch64(theta_dev)
+        rounds = n_model_rounds
+        clock.lap("model: final host refit")
         log_conprb = conprb_fn(refd, m1, m2, hd, dev_model, pre)
         log_ncp = ncp_fn(m1, m2, dev_model, pre)
-        new_theta = fetch64(new_theta)
-        clock.lap("model: theta fetch")
-        bchg, _ = _bchange(new_theta, theta)
-        theta = new_theta
-        if em_cfg.verbose:
-            print(f"ROUND = {rounds}, bChange = {bchg:.6g}")
+    else:
+        log_conprb = conprb_fn(refd, m1, m2, hd, dev_model, pre)
+        log_ncp = ncp_fn(m1, m2, dev_model, pre)
+        while rounds < n_model_rounds:
+            rounds += 1
+            log_theta = jnp.asarray(_safe_log_np(theta), dtype=jnp.float32)
+            new_theta, counts, suff = round_fn(
+                log_theta, log_conprb, log_ncp, dev_model, refd, m1, m2,
+                hd, pre
+            )
+            clock.lap("model: dispatch")
+            suff_np = {k: fetch64(v) for k, v in suff.items()}
+            clock.lap("model: conprb+estep+suff (sync at fetch)")
+            model.finish_round(suff_np)
+            dev_model = to_dev(model.device_arrays())
+            clock.lap("model: host refit")
+            log_conprb = conprb_fn(refd, m1, m2, hd, dev_model, pre)
+            log_ncp = ncp_fn(m1, m2, dev_model, pre)
+            new_theta = fetch64(new_theta)
+            clock.lap("model: theta fetch")
+            bchg, _ = _bchange(new_theta, theta)
+            theta = new_theta
+            if em_cfg.verbose:
+                print(f"ROUND = {rounds}, bChange = {bchg:.6g}")
 
     lcp_np = fetch64(log_conprb)[: bundle.hits.n_hits]
     lnp_np = fetch64(log_ncp)[: bundle.hits.n_reads]

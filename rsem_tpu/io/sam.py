@@ -468,9 +468,10 @@ def parse_alignments(
     transcript_ids, or seqnames in allele-specific mode
     (Transcripts.h:105-143).
 
-    For BAM inputs the hot record loop runs in the native C++ sidecar
-    (native/bamparse.cpp) when available; SAM text (and use_native=False)
-    uses the pure-Python loop below, which is also the parity oracle.
+    Both BAM and SAM-text inputs run the hot record loop in the native C++
+    sidecar (native/bamparse.cpp: parse_bam_native / parse_sam_native) when
+    the library is available; use_native=False (or a missing sidecar) runs
+    the pure-Python loop below, which is also the parity oracle.
     """
     paired = read_type >= 2
     has_qual = read_type in (1, 3)

@@ -173,7 +173,7 @@ class PreIdx(NamedTuple):
     gather 0 and scatter into sliced-off slots. No separate validity mask
     is needed anywhere downstream."""
 
-    flat1: jnp.ndarray  # [Hp, 128] int32, sentinel-masked
+    flat1: jnp.ndarray  # [Hp, pre_cols] int32, sentinel-masked
     flat2: Optional[jnp.ndarray]  # paired: mate2 indices
     # per-READ noise-profile indices (same contract, sentinel = npro_size,
     # rows padded to the kernel tile); None when built by older callers
@@ -181,7 +181,13 @@ class PreIdx(NamedTuple):
     nflat2: Optional[jnp.ndarray] = None
 
 
-PRE_COLS = 128  # PreIdx position-axis width (lane-aligned)
+PRE_COLS = 128  # minimum PreIdx position-axis width (lane-aligned)
+
+
+def pre_cols(max_read_len: int) -> int:
+    """PreIdx position-axis width: the smallest 128 multiple covering the
+    read length (128 for <=128bp, 256 for 150bp Illumina, ...)."""
+    return max(PRE_COLS, _ceil_to(max_read_len, 128))
 
 
 def precompute_profile_indices(
@@ -191,10 +197,10 @@ def precompute_profile_indices(
     m2: Optional[ReadsDevice],
     hits: HitsDevice,
 ) -> PreIdx:
-    pro_size = cfg.pro_len * 25
+    pro_size = cfg.pro_keys()  # effective key bound (sentinel slot)
     sentinel = jnp.int32(pro_size)
-    padC = PRE_COLS - cfg.max_read_len
-    assert padC >= 0, "read length beyond the 128-wide PreIdx layout"
+    cols = pre_cols(cfg.max_read_len)
+    padC = cols - cfg.max_read_len
 
     def mask_pad(flat, valid):
         f = jnp.where(valid, flat, sentinel)
@@ -225,7 +231,7 @@ def precompute_profile_indices(
         arrays = arrays + (hits.insert_len,)
     out = map_hit_chunks(chunk_fn, hits.rid.shape[0], arrays)
 
-    npro_size = 500 if cfg.has_qual else 5
+    npro_size = cfg.npro_keys()
     from .pallas_table import ROWS as _ROWS
 
     def noise_flat(mate: ReadsDevice) -> jnp.ndarray:
@@ -238,7 +244,7 @@ def precompute_profile_indices(
         f = jnp.where(valid, flat, npro_size).astype(jnp.int32)
         N = f.shape[0]
         rpad = -(-N // _ROWS) * _ROWS - N
-        return jnp.pad(f, ((0, rpad), (0, PRE_COLS - L)),
+        return jnp.pad(f, ((0, rpad), (0, cols - L)),
                        constant_values=npro_size)
 
     nf1 = noise_flat(m1)
@@ -252,7 +258,7 @@ def preidx_bytes(cfg: KernelConfig, n_hits_padded: int,
                  n_reads: int = 0) -> int:
     """HBM footprint of PreIdx for gating (engine/em.py)."""
     mates = 2 if cfg.paired else 1
-    return (n_hits_padded + n_reads) * PRE_COLS * 4 * mates
+    return (n_hits_padded + n_reads) * pre_cols(cfg.max_read_len) * 4 * mates
 
 
 def padded_table(values_flat: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -268,13 +274,17 @@ def padded_table(values_flat: jnp.ndarray, size: int) -> jnp.ndarray:
 def profile_sum_pre(cfg: KernelConfig, log_pro_flat: jnp.ndarray,
                     flat: jnp.ndarray) -> jnp.ndarray:
     """[Hp] per-hit profile log-prob from frozen indices: VMEM-table Pallas
-    gather-sum on TPU, widened-row XLA gather elsewhere."""
+    gather-sum on TPU, widened-row XLA gather elsewhere. flat may be
+    [Hp, k*128] for reads longer than 128bp (k 128-lane row groups)."""
     from . import pallas_table as pt
 
-    size = cfg.pro_len * 25
-    table = padded_table(log_pro_flat, size)
+    size = cfg.pro_keys()
+    table = padded_table(log_pro_flat[:size], size)
     if pt.kernels_supported(size):
-        return pt.gather_sum(table, flat)
+        H, cols = flat.shape
+        k = cols // 128
+        s = pt.gather_sum(table, flat.reshape(H * k, 128))
+        return s if k == 1 else s.reshape(H, k).sum(axis=1)
     vals = gather_rows(
         table.reshape(-1), flat.reshape(-1).astype(jnp.int32)
     ).reshape(flat.shape)
@@ -288,11 +298,14 @@ def profile_scatter_pre(cfg: KernelConfig, pre: PreIdx,
     Sentinel lanes deposit into sliced-off padding slots."""
     from . import pallas_table as pt
 
-    size = cfg.pro_len * 25
+    size = cfg.pro_keys()
 
     def one(flat):
         if pt.kernels_supported(size):
-            return pt.scatter_add(flat, frac_hit, size)
+            H, cols = flat.shape
+            k = cols // 128
+            w = frac_hit if k == 1 else jnp.repeat(frac_hit, k)
+            return pt.scatter_add(flat.reshape(H * k, 128), w, size)
         w2d = jnp.broadcast_to(frac_hit[:, None], flat.shape)
         return pt.onehot_scatter(
             flat, w2d, pt.table_rows_padded(size) * 128
@@ -315,13 +328,21 @@ def compute_log_conprb(
     hits: HitsDevice,
     model: Dict[str, jnp.ndarray],
     pre: Optional[PreIdx] = None,
+    *,
+    static_only: bool = False,
 ) -> jnp.ndarray:
     """[H] float32 log conprb; -inf encodes the reference's exact zeros.
 
     With `pre` (precompute_profile_indices), the profile term is computed
     OUTSIDE the chunk loop from the frozen sentinel-masked indices — one
     Pallas gather-sum over the VMEM-resident table (profile_sum_pre) —
-    and the chunked pass only evaluates the cheap per-hit terms."""
+    and the chunked pass only evaluates the cheap per-hit terms.
+
+    With `static_only` (fused model loop, ops/model_loop.py), returns the
+    pair (lp_static, log_mw_hit): the model-round-invariant terms only —
+    no profile term, no EPSILON cutoff, no mw division, and (paired) no
+    fragment-length term, since the loop re-evaluates those per round."""
+    assert not static_only or pre is not None
     log_pro_flat = model["log_pro"].reshape(-1).astype(jnp.float32)
 
     def chunk_fn(args):
@@ -348,10 +369,10 @@ def compute_log_conprb(
             masked = (fpos >= fl) | ((fpos >= msk) & (fpos < fl))
             lp = (
                 log_ori[dirs]
-                + log_lendist_adjusted(
+                + (0.0 if static_only else log_lendist_adjusted(
                     model["log_gld_pdf"], model["log_gld_cdf"],
                     cfg.gld_lb, cfg.gld_ub, ins, tl,
-                )
+                ))
                 + _safe_log(
                     lin_rspd_adjusted(
                         cfg, model["rspd_pdf"].astype(jnp.float32),
@@ -442,6 +463,8 @@ def compute_log_conprb(
     if pre is None:
         return out
     lp, log_mw = out
+    if static_only:
+        return lp, log_mw
     lp = lp + profile_sum_pre(cfg, log_pro_flat, pre.flat1)
     if cfg.paired:
         lp = lp + profile_sum_pre(cfg, log_pro_flat, pre.flat2)
@@ -455,10 +478,14 @@ def noise_sum_pre(cfg: KernelConfig, log_npro_flat: jnp.ndarray,
     analogue of profile_sum_pre; table 500 entries w/ quals, 5 without)."""
     from . import pallas_table as pt
 
-    size = 500 if cfg.has_qual else 5
-    table = padded_table(log_npro_flat, size)
+    size = cfg.npro_keys()
+    table = padded_table(log_npro_flat[:size], size)
     if pt.kernels_supported(size):
-        return pt.gather_sum(table, nflat)[:n_reads]
+        R, cols = nflat.shape
+        k = cols // 128
+        s = pt.gather_sum(table, nflat.reshape(R * k, 128))
+        s = s if k == 1 else s.reshape(R, k).sum(axis=1)
+        return s[:n_reads]
     vals = gather_rows(
         table.reshape(-1), nflat.reshape(-1).astype(jnp.int32)
     ).reshape(nflat.shape)
@@ -470,11 +497,14 @@ def noise_scatter_pre(cfg: KernelConfig, nflat: jnp.ndarray,
     """[npro_size] posterior-weighted noise counts from frozen indices."""
     from . import pallas_table as pt
 
-    size = 500 if cfg.has_qual else 5
+    size = cfg.npro_keys()
     w = jnp.pad(frac_noise.astype(jnp.float32),
                 (0, nflat.shape[0] - frac_noise.shape[0]))
     if pt.kernels_supported(size):
-        return pt.scatter_add(nflat, w, size)[:size]
+        R, cols = nflat.shape
+        k = cols // 128
+        wk = w if k == 1 else jnp.repeat(w, k)
+        return pt.scatter_add(nflat.reshape(R * k, 128), wk, size)[:size]
     w2d = jnp.broadcast_to(w[:, None], nflat.shape)
     return pt.onehot_scatter(
         nflat, w2d, pt.table_rows_padded(size) * 128

@@ -127,10 +127,13 @@ def suffstats(
     if pre is not None:
         # frozen sentinel-masked indices: one scatter over ALL hits with
         # the per-hit posterior as the row weight (sentinel lanes land in
-        # sliced-off padding slots); VMEM-table Pallas kernel on TPU
-        out["pro"] = profile_scatter_pre(
-            cfg, pre, frac_hit.astype(jnp.float32)
-        ).reshape(cfg.pro_len, 5, 5)
+        # sliced-off padding slots); VMEM-table Pallas kernel on TPU.
+        # The scatter covers the effective key window (cfg.pro_keys());
+        # slots beyond it are structurally unreachable -> zero-pad.
+        pc = profile_scatter_pre(cfg, pre, frac_hit.astype(jnp.float32))
+        if pc.shape[0] != pro_size:
+            pc = jnp.pad(pc, (0, pro_size - pc.shape[0]))
+        out["pro"] = pc.reshape(cfg.pro_len, 5, 5)
     else:
         def pro_chunk(args):
             if cfg.paired:
@@ -183,6 +186,9 @@ def suffstats(
         if cfg.paired:
             npro_counts = npro_counts + noise_scatter_pre(
                 cfg, pre.nflat2, frac_noise)
+        if npro_counts.shape[0] != npro_size:
+            npro_counts = jnp.pad(
+                npro_counts, (0, npro_size - npro_counts.shape[0]))
     else:
         npro_counts = npro_for(m1)
         if cfg.paired:

@@ -81,8 +81,13 @@ class HitsDevice(NamedTuple):
         h = h_pad or ha.n_hits
         valid = np.zeros(h, dtype=bool)
         valid[: ha.n_hits] = True
+        # padding rows repeat the LAST rid so the rid stream stays sorted
+        # (estep's segment ops pass indices_are_sorted; padding rows carry
+        # conprb -inf so the repeated segment sees zero extra weight)
+        rid_fill = int(ha.rid[-1]) if ha.n_hits else 0
         return cls(
-            rid=jnp.asarray(pad_to(ha.rid, h), dtype=jnp.int32),
+            rid=jnp.asarray(pad_to(ha.rid, h, fill=rid_fill),
+                            dtype=jnp.int32),
             sid=jnp.asarray(pad_to(ha.sid, h, fill=1), dtype=jnp.int32),
             dir=jnp.asarray(pad_to(ha.dir, h).astype(np.int32)),
             pos=jnp.asarray(pad_to(ha.pos, h), dtype=jnp.int32),
@@ -110,12 +115,35 @@ class KernelConfig(NamedTuple):
     mld_ub: int
     max_read_len: int  # L of the padded read arrays
     pro_len: int  # profile position axis (maxL for Profile, 100 for QProfile)
+    # effective key-space bounds for the PreIdx table kernels: with quals
+    # the profile key (q*5+ref)*5+read never exceeds (qmax+1)*25, without
+    # quals it never exceeds read_len*25 — shrinking the VMEM table scan
+    # 2-10x (ops/pallas_table). 0 = full table (qmax unknown).
+    pro_key_size: int = 0
+    npro_key_size: int = 0
+
+    def pro_keys(self) -> int:
+        return self.pro_key_size or self.pro_len * 25
+
+    def npro_keys(self) -> int:
+        full = 500 if self.has_qual else 5
+        return min(self.npro_key_size, full) if self.npro_key_size else full
 
     @classmethod
-    def from_model(cls, model, max_read_len: int) -> "KernelConfig":
+    def from_model(cls, model, max_read_len: int,
+                   qmax: int = None) -> "KernelConfig":
+        """qmax: max quality code present in the reads (host numpy max);
+        None leaves the full key space (no windowing)."""
         spec = model.spec
         glb, gub = model.gld_window
         mlb, mub = model.mld_window if model.mld_window else (0, 1)
+        if spec.has_qual:
+            pro_keys = 25 * (qmax + 1) if qmax is not None else 0
+            npro_keys = 5 * (qmax + 1) if qmax is not None else 0
+        else:
+            pro_keys = 25 * max_read_len
+            npro_keys = 0
+        pro_len = 100 if spec.has_qual else model.pro.pro_len
         return cls(
             paired=spec.paired,
             has_qual=spec.has_qual,
@@ -128,5 +156,7 @@ class KernelConfig(NamedTuple):
             mld_lb=mlb,
             mld_ub=mub,
             max_read_len=max_read_len,
-            pro_len=(100 if spec.has_qual else model.pro.pro_len),
+            pro_len=pro_len,
+            pro_key_size=min(pro_keys, pro_len * 25),
+            npro_key_size=npro_keys,
         )

@@ -1,0 +1,362 @@
+"""Fully on-device fused model-update EM rounds.
+
+The reference runs 10 "model-update" EM rounds (EM.cpp:307-310): each round
+recomputes every hit's conprb under the current model (SingleModel.h:95-146),
+runs the E-step (EM.cpp:199-244), scatters posterior-weighted sufficient
+statistics into the model tables (SingleModel.h:163-209) and renormalizes
+them (collect/finish, EM.cpp:400-404). Round 3 of this framework ran that
+cycle as 10 host-driven dispatch/sync pairs — 2.75 s/round of which the
+math was milliseconds; the structure (host refit + re-upload + retrace
+friction + 10 device syncs) was the cost.
+
+This module folds all rounds into ONE jitted lax.fori_loop that never
+leaves the device:
+
+  * the conprb recompute is split once into a STATIC per-hit part
+    (orientation, fragment/mate-length terms, RSPD, poly(A) masking — all
+    round-invariant when the fragment length distribution is fixed) and the
+    ROUND-VARYING part: the error-profile term, served from the frozen
+    PreIdx indices by the VMEM-resident pallas_table gather over the
+    EFFECTIVE key window (cfg.pro_keys()), and — paired — the re-estimated
+    fragment-length term via two tiny-table lookups;
+  * the E-step runs scale-free in linear f32: per-read max logits are
+    frozen ONCE from the round-0 conprbs (model drift across update rounds
+    is a few nats, clamped at +80), so the per-round segment max
+    disappears; per-read denominators are a two-level blocked prefix sum
+    at STATIC read boundaries (fast_estep.seg_sum_sorted) instead of an
+    XLA segment op;
+  * expected counts use the one-hot MXU contraction (pallas_table
+    .onehot_scatter), sufficient statistics the pallas_table scatter;
+  * table "finish" (normalize + cumsum) runs on device in f32 — the tables
+    are KB-sized; the reference's float64 finish is reproduced on host once
+    from the final round's fetched statistics, so the serialized model and
+    everything downstream keeps the exact reference numerics.
+
+Scope: model variants whose masking weights (mw) and RSPD stay fixed
+across update rounds — `fused_supported` gates on that. est-RSPD and
+paired-with-poly(A) fall back to the per-round host loop (engine/em.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .conprb import (
+    LOG_EPS,
+    NEG_INF,
+    PreIdx,
+    compute_log_conprb,
+    compute_log_noise_conprb,
+    log_lendist_pdf,
+    noise_scatter_pre,
+    noise_sum_pre,
+    profile_scatter_pre,
+    profile_sum_pre,
+)
+from .fast_estep import gather_rows, seg_sum_sorted
+from .layout import HitsDevice, KernelConfig, ReadsDevice, RefDevice
+from .pallas_table import onehot_scatter
+
+# w = exp(lw - s0) clamp: round-0 per-read max keeps lw - s0 <= ~0 plus a
+# few nats of model drift; 80 caps runaway values below f32 overflow while
+# leaving all realistic ratios exact
+MAX_DRIFT = 80.0
+
+
+def fused_supported(cfg: KernelConfig, has_polya: bool) -> bool:
+    """The fused loop requires every non-profile conprb term to be
+    round-invariant: RSPD fixed (not est_rspd) and mw fixed (single-end
+    never recomputes mw without est_rspd — SingleModel.h:326-329; paired
+    recomputes it every round, but without poly(A) it is identically 1 —
+    PairedEndQModel.h:302-307)."""
+    return (not cfg.est_rspd) and not (cfg.paired and has_polya)
+
+
+class ModelLoopData(NamedTuple):
+    """Round-invariant device arrays for the fused loop (all leaves are
+    arrays, so this NamedTuple rides through jit as a plain pytree)."""
+
+    lp_static: jnp.ndarray  # [Hp] f32 non-profile static terms (-inf masks)
+    log_mw_h: jnp.ndarray  # [Hp] f32 log mw[sid]
+    lnp_static: jnp.ndarray  # [N] f32 noise length terms (-inf on lq)
+    sid: jnp.ndarray  # [Hp] i32
+    rid: jnp.ndarray  # [Hp] i32 (sorted; padding rows carry the last rid)
+    starts: jnp.ndarray  # [N+1] i32 static read boundaries in hit space
+    s0: jnp.ndarray  # [N] f32 frozen per-read max logit (round 0)
+    s0_hit: jnp.ndarray  # [Hp] f32 s0[rid]
+    flat1: jnp.ndarray  # PreIdx profile indices
+    flat2: Optional[jnp.ndarray]
+    nflat1: jnp.ndarray
+    nflat2: Optional[jnp.ndarray]
+    npro_c: jnp.ndarray  # fixed N0 noise counts (compact key window)
+    n0: jnp.ndarray  # f32 scalar
+    # paired-only leaves (None on single-end)
+    gld_num_idx: Optional[jnp.ndarray] = None  # [Hp] i32
+    gld_den_idx: Optional[jnp.ndarray] = None  # [Hp] i32
+    gld_valid: Optional[jnp.ndarray] = None  # [Hp] bool
+    ins_idx: Optional[jnp.ndarray] = None  # [Hp] i32 (gld suffstat slot)
+    hit_valid: Optional[jnp.ndarray] = None  # [Hp] bool
+
+
+def build_model_loop_data(
+    cfg: KernelConfig,
+    ref: RefDevice,
+    m1: ReadsDevice,
+    m2: Optional[ReadsDevice],
+    hits: HitsDevice,
+    pre: PreIdx,
+    model: Dict[str, jnp.ndarray],
+    read_offsets: jnp.ndarray,
+    npro_c: jnp.ndarray,
+    n0,
+) -> ModelLoopData:
+    """Freeze every round-invariant term. `model` is the round-0 device
+    model (its static distributions feed lp_static; its full conprb feeds
+    the frozen per-read scale s0)."""
+    lp_static, log_mw_h = compute_log_conprb(
+        cfg, ref, m1, m2, hits, model, pre=pre, static_only=True
+    )
+
+    def len_term(lens):
+        if cfg.paired or cfg.use_mld:
+            return log_lendist_pdf(
+                model["log_mld_pdf"], cfg.mld_lb, cfg.mld_ub, lens)
+        return log_lendist_pdf(
+            model["log_gld_pdf"], cfg.gld_lb, cfg.gld_ub, lens)
+
+    lnp = len_term(m1.lens)
+    if cfg.paired:
+        lnp = lnp + len_term(m2.lens)
+        lq = (m1.lq & m2.lq) | (m1.lens < cfg.seed_len) | (
+            m2.lens < cfg.seed_len)
+    else:
+        lq = m1.lq
+    lnp_static = jnp.where(lq | ~m1.valid, NEG_INF, lnp)
+
+    # frozen per-read scale from the ROUND-0 full conprbs: theta <= 1 only
+    # lowers logits, and profile/gld drift across update rounds is a few
+    # nats, so exp(lw - s0) stays in f32 range for the whole loop
+    n_reads = m1.lens.shape[0]
+    lcp0 = compute_log_conprb(cfg, ref, m1, m2, hits, model, pre=pre)
+    lnp0 = compute_log_noise_conprb(cfg, m1, m2, model, pre=pre)
+    seg_max = jax.ops.segment_max(
+        lcp0, hits.rid, num_segments=n_reads, indices_are_sorted=True
+    )
+    s0 = jnp.maximum(seg_max, lnp0)
+    s0 = jnp.where(jnp.isfinite(s0), s0, 0.0).astype(jnp.float32)
+    s0_hit = s0[hits.rid]
+
+    kw = {}
+    if cfg.paired:
+        span = cfg.gld_ub - cfg.gld_lb
+        tl = ref.tot_len[hits.sid]
+        ins = hits.insert_len
+        kw["gld_valid"] = (
+            (ins > cfg.gld_lb) & (ins <= cfg.gld_ub) & (tl > cfg.gld_lb)
+        )
+        kw["gld_num_idx"] = jnp.clip(ins - cfg.gld_lb, 0, span).astype(
+            jnp.int32)
+        kw["gld_den_idx"] = jnp.clip(
+            jnp.minimum(cfg.gld_ub, tl) - cfg.gld_lb, 0, span
+        ).astype(jnp.int32)
+        kw["ins_idx"] = jnp.clip(
+            ins - cfg.gld_lb - 1, 0, span - 1).astype(jnp.int32)
+        kw["hit_valid"] = hits.valid
+
+    return ModelLoopData(
+        lp_static=lp_static,
+        log_mw_h=log_mw_h,
+        lnp_static=lnp_static,
+        sid=hits.sid,
+        rid=hits.rid,
+        starts=read_offsets.astype(jnp.int32),
+        s0=s0,
+        s0_hit=s0_hit,
+        flat1=pre.flat1,
+        flat2=pre.flat2,
+        nflat1=pre.nflat1,
+        nflat2=pre.nflat2,
+        npro_c=jnp.asarray(npro_c, dtype=jnp.float32).reshape(-1)[
+            : cfg.npro_keys()],
+        n0=jnp.asarray(n0, dtype=jnp.float32),
+        **kw,
+    )
+
+
+def tables_from_model(cfg: KernelConfig,
+                      model: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Round-0 loop-carried tables (compact key windows) from the device
+    model dict."""
+    t = {
+        "log_pro": model["log_pro"].reshape(-1).astype(jnp.float32)[
+            : cfg.pro_keys()],
+        "log_npro": model["log_npro"].reshape(-1).astype(jnp.float32)[
+            : cfg.npro_keys()],
+    }
+    if cfg.paired:
+        t["log_gld_pdf"] = model["log_gld_pdf"].astype(jnp.float32)
+        t["log_gld_cdf"] = model["log_gld_cdf"].astype(jnp.float32)
+    return t
+
+
+def _safe_log(x):
+    return jnp.where(x > 0, jnp.log(jnp.where(x > 0, x, 1.0)), NEG_INF)
+
+
+def _finish_profile(pro_counts: jnp.ndarray) -> jnp.ndarray:
+    """log of Profile/QProfile finish: rows normalized, empty rows zero
+    (Profile.h finish; host twin model/profile.profile_finish)."""
+    pc = pro_counts.reshape(-1, 5)
+    s = jnp.sum(pc, axis=1, keepdims=True)
+    p = jnp.where(s > 0, pc / jnp.where(s > 0, s, 1.0), 0.0)
+    return _safe_log(p).reshape(-1)
+
+
+def _finish_npro(cfg: KernelConfig, npro_counts: jnp.ndarray,
+                 npro_c: jnp.ndarray, log_prev: jnp.ndarray) -> jnp.ndarray:
+    """log of Noise(Q)Profile finish_from_counts: posterior counts + fixed
+    N0 counts, normalized (per-qual row with quals, globally without).
+    Empty input keeps the previous table (NoiseProfile.h:78-89)."""
+    tot = npro_counts + npro_c
+    if cfg.has_qual:
+        t2 = tot.reshape(-1, 5)
+        s = jnp.sum(t2, axis=1, keepdims=True)
+        p = jnp.where(s > 0, t2 / jnp.where(s > 0, s, 1.0), 0.0)
+        return _safe_log(p).reshape(-1)
+    s = jnp.sum(tot)
+    logp = _safe_log(jnp.where(s > 0, tot / jnp.where(s > 0, s, 1.0), 0.0))
+    return jnp.where(s > 0, logp, log_prev)
+
+
+def _finish_gld(gld_counts: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """log pdf/cdf over the frozen (lb, ub] window from posterior-weighted
+    insert-length masses (PairedEndQModel.h:161-178 + LenDist finish)."""
+    s = jnp.sum(gld_counts)
+    pdf1 = jnp.where(s > 0, gld_counts / jnp.where(s > 0, s, 1.0), 0.0)
+    z = jnp.zeros((1,), pdf1.dtype)
+    pdf = jnp.concatenate([z, pdf1])
+    cdf = jnp.concatenate([z, jnp.cumsum(pdf1)])
+    return _safe_log(pdf), _safe_log(cdf)
+
+
+def run_model_loop(
+    cfg: KernelConfig,
+    data: ModelLoopData,
+    tables0: Dict[str, jnp.ndarray],
+    theta0: jnp.ndarray,
+    n_rounds: int,
+    n_reads: int,
+    M: int,
+):
+    """n_rounds fused model-update EM rounds; returns (theta, suff) where
+    suff holds the FINAL round's raw sufficient statistics in the full
+    reference shapes (the host refits the float64 model from them —
+    engine/em.py)."""
+    pre = PreIdx(flat1=data.flat1, flat2=data.flat2,
+                 nflat1=data.nflat1, nflat2=data.nflat2)
+    gspan = cfg.gld_ub - cfg.gld_lb
+    pro_keys = cfg.pro_keys()
+    npro_keys = cfg.npro_keys()
+
+    def body(i, carry):
+        theta, t, _suff = carry
+        lp = data.lp_static + profile_sum_pre(cfg, t["log_pro"], data.flat1)
+        if cfg.paired:
+            lp = lp + profile_sum_pre(cfg, t["log_pro"], data.flat2)
+            num = gather_rows(t["log_gld_pdf"], data.gld_num_idx)
+            den = gather_rows(t["log_gld_cdf"], data.gld_den_idx)
+            g = jnp.where(
+                data.gld_valid & (num > NEG_INF) & (den > NEG_INF),
+                num - den, NEG_INF,
+            )
+            lp = lp + g
+        # reference op order: EPSILON cutoff on the full product, then /mw
+        lp = jnp.where(lp < LOG_EPS, NEG_INF, lp)
+        lp = jnp.where(data.log_mw_h > NEG_INF, lp - data.log_mw_h, NEG_INF)
+
+        lnp = data.lnp_static + noise_sum_pre(
+            cfg, t["log_npro"], data.nflat1, n_reads)
+        if cfg.paired:
+            lnp = lnp + noise_sum_pre(cfg, t["log_npro"], data.nflat2,
+                                      n_reads)
+        lnp = jnp.where(lnp < LOG_EPS, NEG_INF, lnp)
+
+        # ---- E-step, scale-free linear f32 (EM.cpp:199-244) -------------
+        ltheta = _safe_log(theta)
+        lw = lp + gather_rows(ltheta, data.sid)
+        w = jnp.exp(jnp.minimum(lw - data.s0_hit, MAX_DRIFT))
+        w0 = jnp.exp(jnp.minimum(lnp + ltheta[0] - data.s0, MAX_DRIFT))
+        denom = seg_sum_sorted(w, data.starts) + w0
+        inv = jnp.where(denom > 0, 1.0 / jnp.where(denom > 0, denom, 1.0),
+                        0.0)
+        frac = w * gather_rows(inv, data.rid)
+        frac_noise = w0 * inv
+        counts = onehot_scatter(data.sid, frac, M + 1)
+        counts = counts.at[0].add(jnp.sum(frac_noise) + data.n0)
+        theta_new = counts / jnp.sum(counts)
+
+        # ---- sufficient statistics + on-device finish --------------------
+        suff = {
+            "pro": profile_scatter_pre(cfg, pre, frac),
+            "npro": noise_scatter_pre(cfg, data.nflat1, frac_noise),
+        }
+        if cfg.paired:
+            suff["npro"] = suff["npro"] + noise_scatter_pre(
+                cfg, data.nflat2, frac_noise)
+            suff["gld"] = onehot_scatter(
+                data.ins_idx,
+                jnp.where(data.hit_valid, frac, 0.0),
+                gspan,
+            )
+
+        t_new = {
+            "log_pro": _finish_profile(suff["pro"]),
+            "log_npro": _finish_npro(cfg, suff["npro"], data.npro_c,
+                                     t["log_npro"]),
+        }
+        if cfg.paired:
+            t_new["log_gld_pdf"], t_new["log_gld_cdf"] = _finish_gld(
+                suff["gld"])
+        return theta_new, t_new, suff
+
+    suff0 = {
+        "pro": jnp.zeros(pro_keys, jnp.float32),
+        "npro": jnp.zeros(npro_keys, jnp.float32),
+    }
+    if cfg.paired:
+        suff0["gld"] = jnp.zeros(gspan, jnp.float32)
+    theta, _t, suff = jax.lax.fori_loop(
+        0, n_rounds, body, (theta0.astype(jnp.float32), tables0, suff0)
+    )
+    # expand compact key windows to the full reference shapes
+    pro_full = cfg.pro_len * 25
+    npro_full = 500 if cfg.has_qual else 5
+    pro = suff["pro"]
+    if pro.shape[0] != pro_full:
+        pro = jnp.pad(pro, (0, pro_full - pro.shape[0]))
+    npro = suff["npro"]
+    if npro.shape[0] != npro_full:
+        npro = jnp.pad(npro, (0, npro_full - npro.shape[0]))
+    out = {"pro": pro.reshape(cfg.pro_len, 5, 5)}
+    out["npro"] = npro.reshape(-1, 5) if cfg.has_qual else npro
+    if cfg.paired:
+        out["gld"] = suff["gld"]
+    return theta, out
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def jit_model_loop(cfg: KernelConfig, data: ModelLoopData,
+                   tables0, theta0, n_rounds: int, n_reads: int, M: int):
+    return run_model_loop(cfg, data, tables0, theta0, n_rounds, n_reads, M)
+
+
+# jitted builder shared across calls (one trace per dataset geometry)
+@partial(jax.jit, static_argnums=(0,))
+def jit_build_model_loop_data(cfg: KernelConfig, ref, m1, m2, hits, pre,
+                              model, read_offsets, npro_c, n0):
+    return build_model_loop_data(cfg, ref, m1, m2, hits, pre, model,
+                                 read_offsets, npro_c, n0)

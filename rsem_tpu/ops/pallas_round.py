@@ -464,6 +464,11 @@ def pallas_final_fracs(theta: jnp.ndarray, data: PallasRoundData):
 
     sizes = [p.shape[0] for p in flat_parts]
     starts = np.concatenate([[0], np.cumsum(sizes)])
+    # int32 flat-index arithmetic below: guard against silent wraparound
+    # if the padded slot total ever exceeds 2^31 (advisor r3)
+    assert starts[-1] < 2**31, (
+        f"padded bucket slots {starts[-1]} exceed int32 indexing range"
+    )
     flat = jnp.concatenate(flat_parts) if len(flat_parts) > 1 else flat_parts[0]
     base = jnp.asarray(starts[:-1], dtype=jnp.int32)
     frac = flat[data.restore_slot.astype(jnp.int32) + base[data.restore_bidx]]

@@ -37,9 +37,11 @@ try:  # pallas imports fail gracefully on backends without Mosaic
 except Exception:  # pragma: no cover
     PALLAS_AVAILABLE = False
 
-ROWS = 8  # index-tile rows per grid step
+ROWS = 512  # gather index-tile rows per grid step (r4 sweep: 8 -> 512 is
+# 13x — tiny tiles made the kernel grid-overhead-bound at 320k steps)
+SCATTER_ROWS = 64  # scatter tile rows (per-row MXU contractions; 64 best)
 # keep the whole-table row scan cheap: t_pad <= 64 rows (8192 slots) covers
-# every profile/noise table (max 2500+1 slots)
+# every profile/noise EFFECTIVE key window (conprb.KernelConfig key sizes)
 MAX_TABLE_ROWS = 64
 
 
@@ -62,37 +64,38 @@ def kernels_supported(size: int, backend: str = None) -> bool:
 # --------------------------------------------------------------------- #
 # gather-sum                                                             #
 # --------------------------------------------------------------------- #
-def _gather_sum_kernel(flat_ref, table_ref, out_ref, *, t_rows: int):
+def _gather_sum_kernel(flat_ref, table_ref, out_ref, *, t_rows: int,
+                       rows: int):
     f = flat_ref[:]  # [R, 128] i32
     hi = jax.lax.shift_right_logical(f, jnp.int32(7))
     lo = jax.lax.bitwise_and(f, jnp.int32(127))
 
     def g_body(t, g):
         row = table_ref[pl.ds(t, 1), :]  # [1, 128]
-        rowb = jnp.broadcast_to(row, (ROWS, 128))
+        rowb = jnp.broadcast_to(row, (rows, 128))
         v = jnp.take_along_axis(rowb, lo, axis=1)
         return jnp.where(hi == t, v, g)
 
     g = jax.lax.fori_loop(
         jnp.int32(0), jnp.int32(t_rows), g_body,
-        jnp.zeros((ROWS, 128), jnp.float32),
+        jnp.zeros((rows, 128), jnp.float32),
     )
     out_ref[:] = jnp.sum(g, axis=1, keepdims=True)  # [R, 1]
 
 
 def _gather_sum_x32(table_pad: jnp.ndarray, flat: jnp.ndarray,
-                    interpret: bool = False) -> jnp.ndarray:
+                    interpret: bool = False, rows: int = ROWS) -> jnp.ndarray:
     t_pad = table_pad.shape[0]
     X = flat.shape[0]
-    n_tiles = X // ROWS
+    n_tiles = X // rows
     out = pl.pallas_call(
-        partial(_gather_sum_kernel, t_rows=t_pad),
+        partial(_gather_sum_kernel, t_rows=t_pad, rows=rows),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((ROWS, 128), lambda i: (i, 0)),
+            pl.BlockSpec((rows, 128), lambda i: (i, 0)),
             pl.BlockSpec((t_pad, 128), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((ROWS, 1), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((rows, 1), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((X, 1), jnp.float32),
         interpret=interpret,
     )(flat, table_pad)
@@ -104,16 +107,23 @@ def gather_sum(table_pad: jnp.ndarray, flat: jnp.ndarray,
     """[X] f32: per-row sum of table_pad.reshape(-1)[flat[r, :]].
 
     table_pad: [t_pad, 128] f32 (zero-padded; sentinel slots 0).
-    flat: [X, 128] int32 sentinel-masked indices; X % ROWS == 0."""
+    flat: [X, 128] int32 sentinel-masked indices; trailing rows beyond a
+    ROWS multiple are padded internally with the table's last (zero) slot."""
+    X = flat.shape[0]
+    rows = ROWS if X >= ROWS else 8
+    Xp = -(-X // rows) * rows
+    if Xp != X:
+        sentinel = table_pad.shape[0] * 128 - 1  # a zero-padding slot
+        flat = jnp.pad(flat, ((0, Xp - X), (0, 0)), constant_values=sentinel)
     with jax.enable_x64(False):
-        return _gather_sum_x32(table_pad, flat, interpret)
+        return _gather_sum_x32(table_pad, flat, interpret, rows=rows)[:X]
 
 
 # --------------------------------------------------------------------- #
 # scatter-add                                                            #
 # --------------------------------------------------------------------- #
 def _scatter_kernel(flat_ref, w_ref, out_ref, acc_ref, comp_ref,
-                    *, t_pad: int):
+                    *, t_pad: int, rows: int):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -128,7 +138,7 @@ def _scatter_kernel(flat_ref, w_ref, out_ref, acc_ref, comp_ref,
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (t_pad, 128), 0)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
     upd = jnp.zeros((t_pad, 128), jnp.float32)
-    for r in range(ROWS):
+    for r in range(rows):
         # per-row weight is a static-index scalar load from the [R, 1]
         # VMEM block (a [R,1]->[R,128] broadcast is "both sublanes and
         # lanes" — Mosaic rejects it; SMEM blocks reject (1, R) shapes)
@@ -151,15 +161,16 @@ def _scatter_kernel(flat_ref, w_ref, out_ref, acc_ref, comp_ref,
 
 
 def _scatter_x32(flat: jnp.ndarray, w: jnp.ndarray, t_pad: int,
-                 interpret: bool = False) -> jnp.ndarray:
+                 interpret: bool = False,
+                 rows: int = SCATTER_ROWS) -> jnp.ndarray:
     X = flat.shape[0]
-    n_tiles = X // ROWS
+    n_tiles = X // rows
     out = pl.pallas_call(
-        partial(_scatter_kernel, t_pad=t_pad),
+        partial(_scatter_kernel, t_pad=t_pad, rows=rows),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((ROWS, 128), lambda i: (i, 0)),
-            pl.BlockSpec((ROWS, 1), lambda i: (i, 0)),
+            pl.BlockSpec((rows, 128), lambda i: (i, 0)),
+            pl.BlockSpec((rows, 1), lambda i: (i, 0)),
         ],
         out_specs=pl.BlockSpec((t_pad, 128), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((t_pad, 128), jnp.float32),
@@ -177,10 +188,17 @@ def scatter_add(flat: jnp.ndarray, w: jnp.ndarray, size: int,
     """[t_pad*128] f32: counts[t] += w[r] over flat[r, :] == t.
 
     flat: [X, 128] int32 sentinel-masked; w: [X] f32 per-ROW weight
-    (broadcast across the 128 lanes). Caller slices [:size]."""
+    (broadcast across the 128 lanes). Caller slices [:size]. Trailing rows
+    beyond a ROWS multiple are padded internally with zero weight."""
     t_pad = table_rows_padded(size)
+    X = flat.shape[0]
+    rows = SCATTER_ROWS if X >= SCATTER_ROWS else 8
+    Xp = -(-X // rows) * rows
+    if Xp != X:
+        flat = jnp.pad(flat, ((0, Xp - X), (0, 0)))
+        w = jnp.pad(w, (0, Xp - X))
     with jax.enable_x64(False):
-        return _scatter_x32(flat, w, t_pad, interpret)
+        return _scatter_x32(flat, w, t_pad, interpret, rows=rows)
 
 
 # ------------------------------------------------------------------- #

@@ -1,34 +1,49 @@
-"""Benchmark: honest end-to-end EM on the real TPU chip.
+"""Benchmark: honest end-to-end quantification on the real TPU chip.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Workload mirrors the measured-reference workload exactly
+Headline workload mirrors the measured-reference workload exactly
 (tools/measure_baseline.py -> tools/baseline_measured.json): 1M single-end
 qual reads, ~2.5 alignments/read, M=20k transcripts, SingleQModel.
 
-The benchmark spans the reference's full rsem-run-em window (EM.cpp:177-416):
-  * 10 model-update rounds: conprb recompute + E-step + sufficient-stat
-    scatter + host model refit      (reference: 31.9s of its 34.3s at 1t)
+The headline spans the reference's full rsem-run-em window (EM.cpp:177-416):
+  * 10 model-update rounds — ONE fused on-device fori_loop (ops/model_loop;
+    conprb recompute + E-step + suffstat scatter + table finish per round)
   * conprb freeze + device->host fetch + theta-loop layout build
   * the converged theta-only while_loop on device
   * the final expected-weight E-step (EM.cpp:460-478)
 Parse is excluded on both sides and reported separately (see
 tools/bench_ingest.py; reference parse = 11.18s on this host).
 
+Also measured (detail):
+  * theta-only round for BOTH kernels (pallas + XLA), reads/s each
+  * paired-end + qual EM (BASELINE config 3 analogue) warm pass
+  * Gibbs sampler (burnin 200, 1000 samples — driver defaults,
+    rsem-calculate-expression:18-20) on the learned conprbs
+  * credibility intervals (1000 count vectors x 50 theta samples,
+    calcCI.cpp defaults)
+  * hybrid backend (native CPU model rounds + TPU theta loop) one pass,
+    when the C++ sidecar is available (the r3 verdict's shootout ask)
+  posterior-stage reference wall-clocks, measured on this host, come from
+  tools/baseline_measured.json's gibbs/ci keys when present
+  (tools/measure_baseline_posterior.py writes them).
+
 vs_baseline = ref_em_16t / our_em_warm, where ref_em_16t extrapolates the
 measured 1-thread 34.28s via Amdahl's law fitted to the measured 1->2
-thread speedup (1.952x => serial fraction 2.46%, S16 = 11.7x, 2.93s).
-The old straight-linear extrapolation (2.14s) is reported alongside; both
-flatter the reference (the measurement host has only 2 cores).
+thread speedup. The old straight-linear extrapolation is reported
+alongside; both flatter the reference (the measurement host has 2 cores).
 
 Timing: on the axon platform block_until_ready returns at dispatch;
 every phase is closed with utils.jaxinit.sync() which forces real
 execution (scalar fetch through the data dependency).
 
-Cold vs warm: the whole EM span runs twice in-process; the second pass
+Cold vs warm: the headline EM span runs twice in-process; the second pass
 reuses live jit executables (and, across processes, the persistent XLA
 compilation cache — utils/jaxinit). The warm number is the headline;
 cold (first-pass, includes compiles) is in detail.
+
+Env knobs: RSEM_TPU_BENCH_NREADS / _M / _KERNEL; RSEM_TPU_BENCH_FAST=1
+skips the posterior/PE/hybrid extras (headline only).
 """
 
 import json
@@ -53,7 +68,7 @@ def _baseline():
     # Amdahl: S2 = 1/(s + (1-s)/2)  =>  s = 2/S2 - 1
     serial = max(2.0 / s2 - 1.0, 0.0)
     s16 = 1.0 / (serial + (1.0 - serial) / 16.0)
-    return {
+    out = {
         "ref_em_1t_sec": r1["total_sec"],
         "ref_em_2t_sec": r2["total_sec"],
         "ref_em_16t_amdahl_sec": r1["total_sec"] / s16,
@@ -65,6 +80,10 @@ def _baseline():
         "ref_parse_sec": d.get("parse_alignments_sec"),
         "amdahl_serial_fraction": serial,
     }
+    for k in ("gibbs", "ci"):  # measure_baseline_posterior.py
+        if k in d:
+            out[f"ref_{k}"] = d[k]
+    return out
 
 
 def main():
@@ -74,12 +93,19 @@ def main():
 
     from rsem_tpu.utils.jaxinit import configure, fetch, fetch64, sync
     configure()
+    # first device interaction pays the remote-chip claim/attach (an
+    # environment cost with 2s-270s variance depending on prior claim
+    # state); measure it separately so the cold number decomposes
+    t0 = time.perf_counter()
+    sync(jnp.zeros(8) + 1.0)
+    attach_sec = time.perf_counter() - t0
 
     from rsem_tpu.engine.em import EMConfig, run_em
     from rsem_tpu.testing import synthetic_arrays_fast
 
     n_reads = int(os.environ.get("RSEM_TPU_BENCH_NREADS", 1_000_000))
     M = int(os.environ.get("RSEM_TPU_BENCH_M", 20_000))
+    fast = os.environ.get("RSEM_TPU_BENCH_FAST") == "1"
     ref, bundle, spec, model0 = synthetic_arrays_fast(
         n_reads=n_reads, M=M, read_len=100, tx_len=2000,
         paired=False, has_qual=True, mean_extra_hits=1.5, seed=0,
@@ -87,19 +113,26 @@ def main():
     kernel = os.environ.get("RSEM_TPU_BENCH_KERNEL", "auto")
     em_cfg = EMConfig(backend="device", fast_kernel=kernel)
 
-    def one_pass():
+    def one_pass(cfg=em_cfg, b=bundle, r=ref, m=model0):
         import copy
-        model = copy.deepcopy(model0)
+        model = copy.deepcopy(m)
         t0 = time.perf_counter()
-        res = run_em(model, ref, bundle, em_cfg, need_posteriors=False)
+        res = run_em(model, r, b, cfg, need_posteriors=False)
         # run_em's outputs are host arrays => the span is fully synced
         dt = time.perf_counter() - t0
         return dt, res
 
     cold_sec, res_cold = one_pass()
     warm_sec, res = one_pass()
+    detail = {
+        "device_attach_sec": round(attach_sec, 3),
+        "em_end_to_end_warm_sec": round(warm_sec, 3),
+        "em_end_to_end_cold_sec": round(cold_sec, 3),
+        "em_rounds_total": int(res.rounds),
+        "n_hits": int(bundle.hits.n_hits),
+    }
 
-    # steady-state theta-round throughput (the r01/r02 comparable number)
+    # ---- steady-state theta-round throughput, BOTH kernels --------------
     from rsem_tpu.ops import (
         HitsDevice, KernelConfig, ReadsDevice, RefDevice,
         compute_log_conprb, compute_log_noise_conprb,
@@ -107,7 +140,8 @@ def main():
     refd = RefDevice.from_reference(ref)
     m1 = ReadsDevice.from_arrays(bundle.reads)
     hd = HitsDevice.from_arrays(bundle.hits)
-    kcfg = KernelConfig.from_model(res.model, m1.codes.shape[1])
+    kcfg = KernelConfig.from_model(res.model, m1.codes.shape[1],
+                                   qmax=int(bundle.reads.quals.max()))
     dm = {k: jnp.asarray(v, dtype=jnp.float32)
           for k, v in res.model.device_arrays().items()}
     lcp_d = jax.jit(partial(compute_log_conprb, kcfg))(refd, m1, None, hd, dm)
@@ -118,58 +152,122 @@ def main():
     theta0 = jnp.full((M + 1,), 1.0 / (M + 1), dtype=jnp.float32)
 
     from rsem_tpu.ops import pallas_round as _pr
-    use_pallas = (kernel == "pallas") or (
-        kernel in ("auto",) and _pr.pallas_supported(M))
-    if use_pallas:
-        rdata = _pr.build_pallas_data(bundle.hits, lcp, lnp, M, 0.0)
-        round_fn = jax.jit(lambda t, d: _pr.pallas_theta_round(t, d)[0])
-    else:
-        from rsem_tpu.ops.fast_estep import build_fast_data, fast_theta_round
-        rdata = build_fast_data(bundle.hits, lcp, lnp, M, 0.0)
-        round_fn = jax.jit(lambda t, d: fast_theta_round(t, d)[0])
-    th = round_fn(theta0, rdata)
-    sync(th)
-    iters = 50
-    t0 = time.perf_counter()
-    th = theta0
-    for _ in range(iters):
-        th = round_fn(th, rdata)
-    sync(th)
-    round_sec = (time.perf_counter() - t0) / iters
-    reads_per_sec = n_reads / round_sec
+
+    def time_theta(use_pallas: bool):
+        if use_pallas:
+            rdata = _pr.build_pallas_data(bundle.hits, lcp, lnp, M, 0.0)
+            round_fn = jax.jit(lambda t, d: _pr.pallas_theta_round(t, d)[0])
+        else:
+            from rsem_tpu.ops.fast_estep import (build_fast_data,
+                                                 fast_theta_round)
+            rdata = build_fast_data(bundle.hits, lcp, lnp, M, 0.0)
+            round_fn = jax.jit(lambda t, d: fast_theta_round(t, d)[0])
+        th = round_fn(theta0, rdata)
+        sync(th)
+        iters = 50
+        t0 = time.perf_counter()
+        th = theta0
+        for _ in range(iters):
+            th = round_fn(th, rdata)
+        sync(th)
+        return (time.perf_counter() - t0) / iters
+
+    pallas_ok = _pr.pallas_supported(M)
+    theta_par = {}
+    if pallas_ok and kernel in ("auto", "pallas"):
+        theta_par["pallas"] = time_theta(True)
+    if kernel in ("auto", "xla"):
+        theta_par["xla"] = time_theta(False)
+    best = min(theta_par, key=theta_par.get)
+    round_sec = theta_par[best]
+    detail.update({
+        "theta_round_sec": round(round_sec, 5),
+        "theta_reads_per_sec": round(n_reads / round_sec),
+        "theta_kernel": best,
+        "theta_round_sec_by_kernel": {
+            k: round(v, 5) for k, v in theta_par.items()},
+    })
 
     base = _baseline()
+
+    if not fast:
+        # ---- Gibbs (driver defaults: burnin 200, 1000 samples) ----------
+        from rsem_tpu.engine.gibbs import GibbsConfig, run_gibbs
+        from rsem_tpu.refprep.transcripts import GroupInfo
+
+        gi = GroupInfo(np.arange(1, M + 2))  # one gene per transcript
+        eel = res.model.calc_eel()
+        mw = res.model.mw
+        gcfg = GibbsConfig(burnin=200, nsamples=1000, gap=1, n_chains=8,
+                           seed=0)
+        t0 = time.perf_counter()
+        gres = run_gibbs(bundle.hits, lcp, lnp, M, bundle.cnt.N0, eel, mw,
+                         gi, gcfg)
+        gibbs_sec = time.perf_counter() - t0
+        detail["gibbs_sec"] = round(gibbs_sec, 3)
+        detail["gibbs_sweeps_per_sec"] = round(
+            (gcfg.burnin + gcfg.nsamples // gcfg.n_chains) * gcfg.n_chains
+            / gibbs_sec, 1)
+        if base and "ref_gibbs" in base:
+            detail["gibbs_vs_ref_1t"] = round(
+                base["ref_gibbs"]["total_sec_1t"] / gibbs_sec, 2)
+
+        # ---- credibility intervals (calcCI defaults 1000 x 50) ----------
+        from rsem_tpu.engine.ci import CIConfig, run_ci
+
+        t0 = time.perf_counter()
+        cres = run_ci(gres.countvectors, eel, mw, gi, CIConfig())
+        ci_sec = time.perf_counter() - t0
+        detail["ci_sec"] = round(ci_sec, 3)
+        if base and "ref_ci" in base:
+            detail["ci_vs_ref_1t"] = round(
+                base["ref_ci"]["total_sec_1t"] / ci_sec, 2)
+
+        # ---- paired-end + qual EM (BASELINE config 3 analogue) ----------
+        ref_pe, bundle_pe, spec_pe, model_pe = synthetic_arrays_fast(
+            n_reads=n_reads, M=M, read_len=100, tx_len=2000,
+            paired=True, has_qual=True, mean_extra_hits=1.5, seed=1,
+        )
+        pe_cold, _ = one_pass(em_cfg, bundle_pe, ref_pe, model_pe)
+        pe_warm, _ = one_pass(em_cfg, bundle_pe, ref_pe, model_pe)
+        detail["em_pe_warm_sec"] = round(pe_warm, 3)
+        detail["em_pe_cold_sec"] = round(pe_cold, 3)
+
+        # ---- hybrid backend shootout (native sidecar, if built) ---------
+        from rsem_tpu.native import get_lib
+
+        if get_lib() is not None and hasattr(get_lib(), "conprb"):
+            hyb_sec, _ = one_pass(EMConfig(backend="hybrid",
+                                           fast_kernel=kernel))
+            detail["em_hybrid_sec"] = round(hyb_sec, 3)
+            detail["headline_backend"] = (
+                "device" if warm_sec <= hyb_sec else "hybrid")
+
     vs = None
     if base:
         vs = base["ref_em_16t_amdahl_sec"] / warm_sec
+        detail["reference"] = base
+        detail["vs_ref_1t"] = round(base["ref_em_1t_sec"] / warm_sec, 2)
+        detail["vs_ref_2t_measured"] = round(
+            base["ref_em_2t_sec"] / warm_sec, 2)
+        detail["vs_ref_16t_linear"] = round(
+            base["ref_em_16t_linear_sec"] / warm_sec, 2)
+        detail["baseline_source"] = (
+            "measured: tools/baseline_measured.json (reference built + "
+            "timed on this host at 1 and 2 threads; 16t = Amdahl fit "
+            "to the measured 1->2 scaling, favors the reference)"
+        )
+    detail["device"] = str(jax.devices()[0])
 
     result = {
         "metric": (
             f"EM end-to-end wall-clock ({n_reads} reads, 2.5 aln/read, "
-            f"M={M}; 10 model rounds + theta loop + final E-step)"
+            f"M={M}; 10 fused model rounds + theta loop + final E-step)"
         ),
         "value": round(warm_sec, 3),
         "unit": "seconds",
         "vs_baseline": round(vs, 3) if vs is not None else None,
-        "detail": {
-            "em_end_to_end_warm_sec": round(warm_sec, 3),
-            "em_end_to_end_cold_sec": round(cold_sec, 3),
-            "em_rounds_total": int(res.rounds),
-            "theta_round_sec": round(round_sec, 5),
-            "theta_reads_per_sec": round(reads_per_sec),
-            "theta_kernel": "pallas" if use_pallas else "xla",
-            "n_hits": int(bundle.hits.n_hits),
-            "reference": base,
-            "vs_ref_1t": round(base["ref_em_1t_sec"] / warm_sec, 2) if base else None,
-            "vs_ref_2t_measured": round(base["ref_em_2t_sec"] / warm_sec, 2) if base else None,
-            "vs_ref_16t_linear": round(base["ref_em_16t_linear_sec"] / warm_sec, 2) if base else None,
-            "baseline_source": (
-                "measured: tools/baseline_measured.json (reference built + "
-                "timed on this host at 1 and 2 threads; 16t = Amdahl fit "
-                "to the measured 1->2 scaling, favors the reference)"
-            ),
-            "device": str(jax.devices()[0]),
-        },
+        "detail": detail,
     }
     print(json.dumps(result))
 

@@ -448,9 +448,12 @@ def _run_em_device(model, ref, bundle, em_cfg, need_posteriors) -> EMResult:
                                      6 * 1024**3))
     if preidx_bytes(kcfg, int(hd.rid.shape[0]),
                     int(m1.lens.shape[0])) <= pre_budget:
-        pre = jax.jit(partial(precompute_profile_indices, kcfg))(
-            refd, m1, m2, hd
-        )
+        # EAGER on purpose: one monolithic jitted program here hit
+        # multi-minute remote compiles on the axon platform (see
+        # precompute_profile_indices_eager's docstring)
+        from ..ops.conprb import precompute_profile_indices_eager
+
+        pre = precompute_profile_indices_eager(kcfg, refd, m1, m2, hd)
 
     @jax.jit
     def round_fn(log_theta, log_conprb, log_ncp, dev_model, refd_, m1_, m2_,

@@ -254,6 +254,69 @@ def precompute_profile_indices(
     return PreIdx(flat1=out, flat2=None, nflat1=nf1, nflat2=None)
 
 
+def precompute_profile_indices_eager(
+    cfg: KernelConfig,
+    ref: RefDevice,
+    m1: ReadsDevice,
+    m2: Optional[ReadsDevice],
+    hits: HitsDevice,
+) -> PreIdx:
+    """PreIdx via EAGER full-array ops instead of one jitted program.
+
+    On the axon remote-compile platform the monolithic jitted
+    precompute_profile_indices program hit multi-minute (and occasionally
+    unbounded) server-side compiles, unlike its individual ops which each
+    compile in seconds and hit the per-op executable cache (measured r4:
+    standalone u8 takes 2-6s first-call vs 211-1100s for the fused
+    program). This variant runs the identical math op-by-op on full
+    arrays; it is one-time per dataset, bounded by a few GB of transient
+    HBM ([Hp, L] i32 intermediates)."""
+    pro_size = cfg.pro_keys()
+    cols = pre_cols(cfg.max_read_len)
+    padC = cols - cfg.max_read_len
+
+    def mask_pad(flat, valid):
+        f = jnp.where(valid, flat, pro_size)
+        if padC:
+            f = jnp.pad(f, ((0, 0), (0, padC)), constant_values=pro_size)
+        return f.astype(jnp.int32)
+
+    rid, sid, dirs, pos = hits.rid, hits.sid, hits.dir, hits.pos
+    tl = ref.tot_len[sid]
+
+    def one(mate: ReadsDevice, p, d):
+        f, v = profile_indices(
+            cfg, ref, mate.codes[rid],
+            mate.quals[rid] if cfg.has_qual else None,
+            mate.lens[rid], sid, p, d,
+        )
+        return mask_pad(f, v)
+
+    f1 = one(m1, pos, dirs)
+    f2 = (one(m2, tl - pos - hits.insert_len, 1 - dirs)
+          if cfg.paired else None)
+
+    npro_size = cfg.npro_keys()
+    from .pallas_table import ROWS as _ROWS
+
+    def noise_flat(mate: ReadsDevice) -> jnp.ndarray:
+        L = mate.codes.shape[1]
+        j = jnp.arange(L, dtype=jnp.int32)[None, :]
+        readc = mate.codes.astype(jnp.int32)
+        flat = (mate.quals.astype(jnp.int32) * 5 + readc
+                if cfg.has_qual else readc)
+        valid = (j < mate.lens[:, None]) & mate.valid[:, None]
+        f = jnp.where(valid, flat, npro_size).astype(jnp.int32)
+        N = f.shape[0]
+        rpad = -(-N // _ROWS) * _ROWS - N
+        return jnp.pad(f, ((0, rpad), (0, cols - L)),
+                       constant_values=npro_size)
+
+    nf1 = noise_flat(m1)
+    nf2 = noise_flat(m2) if cfg.paired else None
+    return PreIdx(flat1=f1, flat2=f2, nflat1=nf1, nflat2=nf2)
+
+
 def preidx_bytes(cfg: KernelConfig, n_hits_padded: int,
                  n_reads: int = 0) -> int:
     """HBM footprint of PreIdx for gating (engine/em.py)."""

@@ -53,8 +53,11 @@ except Exception:  # pragma: no cover
     PALLAS_AVAILABLE = False
 
 # rows of 128 slots per grid step; K>128 buckets use 8 (reads span K/128
-# consecutive rows and the sublane butterfly gathers within an 8-row tile)
-ROWS_SMALLK = 16
+# consecutive rows and the sublane butterfly gathers within an 8-row tile).
+# r4: SMALLK 16 -> 64 — tiny tiles made the dominant buckets grid-overhead
+# bound (same disease as pallas_table's ROWS=8; measured there 8->512 =
+# 13x); 64 keeps the unrolled per-row MXU scatter loop compilable.
+ROWS_SMALLK = 64
 ROWS_BIGK = 8
 
 # use this kernel only while the table scan stays cheap (T <= 512 rows
@@ -289,13 +292,18 @@ def _round_kernel(
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
     upd = jnp.zeros((t_pad, 128), jnp.float32)
     for r in range(rows):
+        # 2-pass bf16 split: b is an EXACT one-hot, so a_hi+a_lo
+        # reconstructs the f32 product at 1/3 the MXU passes of
+        # Precision.HIGHEST (see pallas_table._scatter_kernel)
         a = jnp.where(iota_t == hi[r : r + 1, :], u[r : r + 1, :], 0.0)
-        b = (iota_l == lo[r : r + 1, :]).astype(jnp.float32)  # b[l, s]
+        b16 = (iota_l == lo[r : r + 1, :]).astype(jnp.bfloat16)  # b[l, s]
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dn = (((1,), (1,)), ((), ()))
         upd = upd + jax.lax.dot_general(
-            a, b,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            a_hi, b16, dn, preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            a_lo, b16, dn, preferred_element_type=jnp.float32,
         )  # [t_pad, 128]
     yc = upd - comp_ref[:]
     tc = contrib_ref[:] + yc

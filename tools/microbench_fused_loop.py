@@ -13,11 +13,17 @@ def main():
     from rsem_tpu.utils.jaxinit import configure, fetch64, sync
     configure()
     print("device:", jax.devices()[0], flush=True)
+    # first device interaction pays the remote-chip claim/attach (measured
+    # 1.6s-265s depending on prior claim state); time it out of the loop
+    t0 = time.perf_counter()
+    sync(jnp.zeros(8) + 1.0)
+    print(f"device attach+first dispatch: {time.perf_counter()-t0:.1f}s",
+          flush=True)
 
     from rsem_tpu.ops import (HitsDevice, KernelConfig, ReadsDevice,
                               RefDevice)
-    from rsem_tpu.ops.conprb import CHUNK, _ceil_to, \
-        precompute_profile_indices
+    from rsem_tpu.ops.conprb import (CHUNK, _ceil_to,
+        precompute_profile_indices_eager)
     from rsem_tpu.ops.model_loop import (jit_build_model_loop_data,
                                          jit_model_loop, tables_from_model)
     from rsem_tpu.testing import synthetic_arrays_fast
@@ -43,8 +49,7 @@ def main():
     N0 = bundle.cnt.N0
 
     t0 = time.perf_counter()
-    pre = jax.jit(partial(precompute_profile_indices, kcfg))(refd, m1, None,
-                                                             hd)
+    pre = precompute_profile_indices_eager(kcfg, refd, m1, None, hd)
     sync(pre.flat1)
     print(f"preidx: {time.perf_counter()-t0:.1f}s", flush=True)
 

@@ -48,9 +48,14 @@ skips the posterior/PE/hybrid extras (headline only).
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 _BASELINE_FILE = os.path.join(os.path.dirname(__file__), "tools",
                               "baseline_measured.json")
@@ -122,8 +127,11 @@ def main():
         dt = time.perf_counter() - t0
         return dt, res
 
+    _log(f"device attach {attach_sec:.1f}s; running EM cold pass...")
     cold_sec, res_cold = one_pass()
+    _log(f"EM cold {cold_sec:.1f}s; warm pass...")
     warm_sec, res = one_pass()
+    _log(f"EM warm {warm_sec:.2f}s ({res.rounds} rounds)")
     detail = {
         "device_attach_sec": round(attach_sec, 3),
         "em_end_to_end_warm_sec": round(warm_sec, 3),
@@ -178,6 +186,7 @@ def main():
         theta_par["pallas"] = time_theta(True)
     if kernel in ("auto", "xla"):
         theta_par["xla"] = time_theta(False)
+    _log(f"theta rounds: { {k: round(v*1e3, 2) for k, v in theta_par.items()} } ms")
     best = min(theta_par, key=theta_par.get)
     round_sec = theta_par[best]
     detail.update({
@@ -191,6 +200,16 @@ def main():
     base = _baseline()
 
     if not fast:
+        # extras run independently: a failure (e.g. a transient TPU worker
+        # crash) is recorded in detail without losing the headline
+        def section(name, fn):
+            try:
+                _log(f"{name}...")
+                fn()
+            except Exception as exc:  # noqa: BLE001 — record, don't die
+                _log(f"{name} FAILED: {type(exc).__name__}: {exc}")
+                detail[f"{name}_error"] = f"{type(exc).__name__}: {exc}"
+
         # ---- Gibbs (driver defaults: burnin 200, 1000 samples) ----------
         from rsem_tpu.engine.gibbs import GibbsConfig, run_gibbs
         from rsem_tpu.refprep.transcripts import GroupInfo
@@ -198,50 +217,67 @@ def main():
         gi = GroupInfo(np.arange(1, M + 2))  # one gene per transcript
         eel = res.model.calc_eel()
         mw = res.model.mw
-        gcfg = GibbsConfig(burnin=200, nsamples=1000, gap=1, n_chains=8,
-                           seed=0)
-        t0 = time.perf_counter()
-        gres = run_gibbs(bundle.hits, lcp, lnp, M, bundle.cnt.N0, eel, mw,
-                         gi, gcfg)
-        gibbs_sec = time.perf_counter() - t0
-        detail["gibbs_sec"] = round(gibbs_sec, 3)
-        detail["gibbs_sweeps_per_sec"] = round(
-            (gcfg.burnin + gcfg.nsamples // gcfg.n_chains) * gcfg.n_chains
-            / gibbs_sec, 1)
-        if base and "ref_gibbs" in base:
-            detail["gibbs_vs_ref_1t"] = round(
-                base["ref_gibbs"]["total_sec_1t"] / gibbs_sec, 2)
+        state = {}
+
+        def do_gibbs():
+            gcfg = GibbsConfig(burnin=200, nsamples=1000, gap=1,
+                               n_chains=8, seed=0)
+            t0 = time.perf_counter()
+            gres = run_gibbs(bundle.hits, lcp, lnp, M, bundle.cnt.N0, eel,
+                             mw, gi, gcfg)
+            gibbs_sec = time.perf_counter() - t0
+            state["gres"] = gres
+            detail["gibbs_sec"] = round(gibbs_sec, 3)
+            detail["gibbs_sweeps_per_sec"] = round(
+                (gcfg.burnin + gcfg.nsamples // gcfg.n_chains)
+                * gcfg.n_chains / gibbs_sec, 1)
+            if base and "ref_gibbs" in base:
+                detail["gibbs_vs_ref_1t"] = round(
+                    base["ref_gibbs"]["total_sec_1t"] / gibbs_sec, 2)
+
+        section("gibbs", do_gibbs)
 
         # ---- credibility intervals (calcCI defaults 1000 x 50) ----------
         from rsem_tpu.engine.ci import CIConfig, run_ci
 
-        t0 = time.perf_counter()
-        cres = run_ci(gres.countvectors, eel, mw, gi, CIConfig())
-        ci_sec = time.perf_counter() - t0
-        detail["ci_sec"] = round(ci_sec, 3)
-        if base and "ref_ci" in base:
-            detail["ci_vs_ref_1t"] = round(
-                base["ref_ci"]["total_sec_1t"] / ci_sec, 2)
+        def do_ci():
+            if "gres" not in state:
+                return
+            t0 = time.perf_counter()
+            run_ci(state["gres"].countvectors, eel, mw, gi, CIConfig())
+            ci_sec = time.perf_counter() - t0
+            detail["ci_sec"] = round(ci_sec, 3)
+            if base and "ref_ci" in base:
+                detail["ci_vs_ref_1t"] = round(
+                    base["ref_ci"]["total_sec_1t"] / ci_sec, 2)
+
+        section("ci", do_ci)
 
         # ---- paired-end + qual EM (BASELINE config 3 analogue) ----------
-        ref_pe, bundle_pe, spec_pe, model_pe = synthetic_arrays_fast(
-            n_reads=n_reads, M=M, read_len=100, tx_len=2000,
-            paired=True, has_qual=True, mean_extra_hits=1.5, seed=1,
-        )
-        pe_cold, _ = one_pass(em_cfg, bundle_pe, ref_pe, model_pe)
-        pe_warm, _ = one_pass(em_cfg, bundle_pe, ref_pe, model_pe)
-        detail["em_pe_warm_sec"] = round(pe_warm, 3)
-        detail["em_pe_cold_sec"] = round(pe_cold, 3)
+        def do_pe():
+            ref_pe, bundle_pe, spec_pe, model_pe = synthetic_arrays_fast(
+                n_reads=n_reads, M=M, read_len=100, tx_len=2000,
+                paired=True, has_qual=True, mean_extra_hits=1.5, seed=1,
+            )
+            pe_cold, _ = one_pass(em_cfg, bundle_pe, ref_pe, model_pe)
+            pe_warm, _ = one_pass(em_cfg, bundle_pe, ref_pe, model_pe)
+            detail["em_pe_warm_sec"] = round(pe_warm, 3)
+            detail["em_pe_cold_sec"] = round(pe_cold, 3)
+
+        section("pe_em", do_pe)
 
         # ---- hybrid backend shootout (native sidecar, if built) ---------
-        from rsem_tpu.native import get_lib
+        def do_hybrid():
+            from rsem_tpu.native import get_lib
 
-        if get_lib() is not None and hasattr(get_lib(), "conprb"):
-            hyb_sec, _ = one_pass(EMConfig(backend="hybrid",
-                                           fast_kernel=kernel))
-            detail["em_hybrid_sec"] = round(hyb_sec, 3)
-            detail["headline_backend"] = (
-                "device" if warm_sec <= hyb_sec else "hybrid")
+            if get_lib() is not None and hasattr(get_lib(), "conprb"):
+                hyb_sec, _ = one_pass(EMConfig(backend="hybrid",
+                                               fast_kernel=kernel))
+                detail["em_hybrid_sec"] = round(hyb_sec, 3)
+                detail["headline_backend"] = (
+                    "device" if warm_sec <= hyb_sec else "hybrid")
+
+        section("hybrid_em", do_hybrid)
 
     vs = None
     if base:

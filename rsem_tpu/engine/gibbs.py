@@ -45,6 +45,9 @@ class GibbsConfig:
     pseudo_count: float = 1.0
     seed: int = 0
     keep_countvectors: bool = True
+    # sweeps per device dispatch: one executable spanning every sweep ran
+    # for minutes at bench scale and tripped the TPU worker watchdog (r4)
+    sweep_segment: int = 25
 
 
 @dataclass
@@ -297,10 +300,16 @@ def run_gibbs(
             acc, cvs = jax.lax.cond(retain, do_retain, lambda a: a, (acc, cvs))
             return z, counts, acc, cvs
 
-        _, _, acc, cvs = jax.lax.fori_loop(
-            0, cfg.burnin + chain_len, round_body, (z, counts, acc0, cvs0)
-        )
-        return acc, cvs
+        return z, counts, acc0, cvs0, round_body
+
+    # ---- segmented dispatch (r4): one jit over ALL sweeps ran minutes on
+    # a single executable at bench scale and tripped the remote TPU
+    # worker's watchdog ("TPU worker process crashed"); sweeping in
+    # bounded segments keeps each dispatch short, costs one tiny host
+    # sync per segment, and leaves all chain state on device ----
+    total_rounds = cfg.burnin + chain_len
+    seg = max(1, min(cfg.sweep_segment, total_rounds))
+    n_seg = -(-total_rounds // seg)
 
     keys = jax.random.split(jax.random.PRNGKey(cfg.seed), C)
     if mesh is not None:
@@ -311,7 +320,32 @@ def run_gibbs(
             f"n_chains={C} must be divisible by mesh size {n_dev}"
         )
         keys = jax.device_put(keys, NamedSharding(mesh, P("dp")))
-    accs, cvs = jax.jit(jax.vmap(chain))(keys)
+
+    def chain_init(key):
+        z, counts, acc0, cvs0, _rb = chain(key)
+        return z, counts, acc0, cvs0
+
+    def chain_segment(key, r0, state):
+        _z, _c, _a, _cv, round_body = chain(key)
+
+        def body(i, st):
+            r = r0 + i
+            return jax.lax.cond(
+                r < total_rounds, lambda s: round_body(r, s), lambda s: s,
+                st,
+            )
+
+        return jax.lax.fori_loop(0, seg, body, state)
+
+    from ..utils.jaxinit import sync as _sync
+
+    state = jax.jit(jax.vmap(chain_init))(keys)
+    seg_fn = jax.jit(jax.vmap(chain_segment, in_axes=(0, None, 0)))
+    for s in range(n_seg):
+        state = seg_fn(keys, jnp.asarray(s * seg, jnp.int32), state)
+        if (s % 4) == 3 or s == n_seg - 1:
+            _sync(state[1])  # bound the in-flight dispatch queue
+    _, _, accs, cvs = state
 
     ns = cfg.nsamples
 

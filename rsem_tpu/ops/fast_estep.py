@@ -341,42 +341,24 @@ def sum64(v: jnp.ndarray):
     return dd_sum(v2.sum(axis=1))
 
 
-def _prefix_mm(v2: jnp.ndarray) -> jnp.ndarray:
-    """[nb, BLOCK] inclusive within-block prefix sums via a triangular
-    one-hot matmul (v2 @ U, U upper-triangular ones). XLA's cumsum along
-    a 512-lane axis ran at <10% of roofline on TPU (r4 ablation: 29 ms of
-    a model round); the MXU form is ~2.6 GMAC at bench scale. U is exact
-    in bf16 and v2 rides the 2-pass bf16 split, so the result carries
-    ~f32 precision."""
-    B = v2.shape[1]
-    U = (jnp.arange(B, dtype=jnp.int32)[:, None]
-         <= jnp.arange(B, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
-    v_hi = v2.astype(jnp.bfloat16)
-    v_lo = (v2 - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    dn = (((1,), (0,)), ((), ()))
-    return jax.lax.dot_general(
-        v_hi, U, dn, preferred_element_type=jnp.float32
-    ) + jax.lax.dot_general(
-        v_lo, U, dn, preferred_element_type=jnp.float32
-    )
-
-
 def seg_sum_sorted(v: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
     """Segment sums of v (len multiple of BLOCK) at sorted boundaries.
 
-    Two-level: in-block prefix (MXU triangular matmul, ~f32-accurate) +
-    cross-block double-float cumsum (~1e-14 relative, ops/ddsum). The
-    boundary difference is taken in dd so adjacent-boundary cancellation
-    recovers the bits a plain f32 subtraction of large cumsums would
-    lose. No f64: TPU f64 is emulated and the global x64 flag poisons
-    index math."""
+    Two-level: in-block f32 prefix (short sums, accurate) + cross-block
+    double-float cumsum (~1e-14 relative, ops/ddsum). The boundary
+    difference is taken in dd so adjacent-boundary cancellation recovers
+    the bits a plain f32 subtraction of large cumsums would lose. No f64:
+    TPU f64 is emulated and the global x64 flag poisons index math.
+    (A 2-pass-bf16 triangular-matmul prefix was tried in r4: only ~16-bit
+    mantissa survives the split — it broke tiny-theta convergence at
+    M=200k scale — and it measured no faster than XLA's cumsum here.)"""
     nb = v.shape[0] // BLOCK
     v2 = v.reshape(nb, BLOCK)
     cs_hi, cs_lo = dd_cumsum(v2.sum(axis=1))
     z = jnp.zeros(1, v.dtype)
     cs_hi = jnp.concatenate([z, cs_hi])
     cs_lo = jnp.concatenate([z, cs_lo])
-    pre = _prefix_mm(v2)  # [nb, BLOCK] within-block prefix
+    pre = jnp.cumsum(v2, axis=1)  # [nb, BLOCK] f32 within-block prefix
     blk = starts // BLOCK
     off = starts % BLOCK
     within = jnp.where(

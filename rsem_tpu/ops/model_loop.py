@@ -231,9 +231,10 @@ def _safe_log(x):
 
 
 def _bf16_split(x):
-    """f32 -> (hi, lo) bf16 pair with hi + lo ~= x (2-pass MXU trick:
-    against an exactly-representable second operand the two products
-    reconstruct the f32 result at 1/3 of Precision.HIGHEST's passes)."""
+    """f32 -> (hi, lo) bf16 pair with hi + lo ~= x to ~16 mantissa bits
+    (2^-17 relative). Against an exactly-representable second operand the
+    two products keep that accuracy at 1/3 of Precision.HIGHEST's passes;
+    errors stay local to each contribution under f32 accumulation."""
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo

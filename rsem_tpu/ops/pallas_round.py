@@ -292,9 +292,10 @@ def _round_kernel(
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
     upd = jnp.zeros((t_pad, 128), jnp.float32)
     for r in range(rows):
-        # 2-pass bf16 split: b is an EXACT one-hot, so a_hi+a_lo
-        # reconstructs the f32 product at 1/3 the MXU passes of
-        # Precision.HIGHEST (see pallas_table._scatter_kernel)
+        # 2-pass bf16 split: b is an EXACT one-hot, so a_hi+a_lo keeps
+        # ~16 mantissa bits per product (2^-17 relative, local to each
+        # contribution) at 1/3 the MXU passes of Precision.HIGHEST
+        # (see pallas_table._scatter_kernel)
         a = jnp.where(iota_t == hi[r : r + 1, :], u[r : r + 1, :], 0.0)
         b16 = (iota_l == lo[r : r + 1, :]).astype(jnp.bfloat16)  # b[l, s]
         a_hi = a.astype(jnp.bfloat16)

@@ -143,10 +143,13 @@ def _scatter_kernel(flat_ref, w_ref, out_ref, acc_ref, comp_ref,
         # VMEM block (a [R,1]->[R,128] broadcast is "both sublanes and
         # lanes" — Mosaic rejects it; SMEM blocks reject (1, R) shapes).
         # Precision: the one-hot factor b is EXACT in bf16, so splitting
-        # the weighted factor a into two bf16 terms reconstructs the f32
-        # product in 2 native MXU passes — 3x cheaper than
-        # Precision.HIGHEST's 6 (r4 ablation: 193ms -> this was the
-        # model-round bottleneck), with ~2^-24 relative error.
+        # the weighted factor a into two bf16 terms keeps ~16 mantissa
+        # bits of each product (2^-17 relative) in 2 native MXU passes —
+        # 3x cheaper than Precision.HIGHEST's 6 (r4 ablation: 193ms was
+        # the model-round bottleneck). Scatter error stays RELATIVE to
+        # each contribution (f32 accumulation), so small counts keep
+        # their 2^-17 relative accuracy — unlike prefix-sum differencing,
+        # this is safe for tiny-theta transcripts.
         a = jnp.where(iota_t == hi[r : r + 1, :], w_ref[r, 0], 0.0)
         b16 = (iota_l == lo[r : r + 1, :]).astype(jnp.bfloat16)  # b[l, s]
         a_hi = a.astype(jnp.bfloat16)

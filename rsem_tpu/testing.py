@@ -31,9 +31,14 @@ def synthetic_arrays_fast(
     seed: int = 0,
     collect_qual_stats: bool = False,
     skewed_hits: bool = False,
+    consistent_reads: bool = True,
 ) -> Tuple[Reference, AlignmentBundle, ModelSpec, GenerativeModel]:
-    """Fully vectorized generator for benchmarks: sequence content is random
-    (likelihood values are arbitrary but the compute shape is realistic).
+    """Fully vectorized generator for benchmarks. With consistent_reads
+    (default, r4) read sequences copy their first alignment's target
+    substring with 0.5% errors — the same distribution as the measured
+    reference workload (tools/measure_baseline.py), so EM posteriors are
+    realistic; consistent_reads=False keeps the r1-r3 random-content
+    behavior (arbitrary likelihoods, identical compute shape).
     collect_qual_stats=False skips the QualDist transition counting (only
     needed by the simulator / .model file, not by any kernel)."""
     rng = np.random.default_rng(seed)
@@ -77,18 +82,47 @@ def synthetic_arrays_fast(
     np.cumsum(n_hits_per, out=offsets[1:])
     hits = HitArrays(rid, sid, dirs, pos, ins, offsets)
 
-    def rand_reads():
-        rcodes = rng.integers(0, 4, size=(n_reads, read_len), dtype=np.int64).astype(np.uint8)
-        rlens = np.full(n_reads, read_len, dtype=np.int32)
-        rquals = (
+    def make_quals():
+        return (
             rng.integers(20, 40, size=(n_reads, read_len), dtype=np.int64).astype(np.uint8)
             if has_qual else None
         )
-        return ReadArrays(rcodes, rlens, rquals, np.zeros(n_reads, dtype=bool))
 
-    m1 = rand_reads()
+    def reads_from_hits(mate2: bool = False):
+        """Read codes copied from the FIRST alignment's target substring
+        with 0.5% errors (same distribution as tools/measure_baseline.py's
+        reference dataset, so hit likelihoods are realistic and the EM
+        posterior is non-degenerate). `pos` is STRAND-LOCAL (SamParser.h:
+        136-142): dir=1 reads walk ref[tot-1-pos-j] reverse-complemented."""
+        if consistent_reads:
+            fh = offsets[:-1]  # first hit of each read
+            s, p, d = sid[fh], pos[fh].astype(np.int64), dirs[fh]
+            tl = ref.tot_len[s]
+            L = read_len
+            if not mate2:
+                start = np.where(d == 0, p, tl - p - L)
+                flip = d == 1
+            else:
+                i2 = ins[fh].astype(np.int64)
+                start = np.where(d == 0, p + i2 - L, tl - p - i2)
+                flip = d == 0
+            gather = (ref.offsets[s] + start)[:, None] + np.arange(L)[None, :]
+            rc = ref.codes[gather].astype(np.uint8).copy()
+            rc[flip] = 3 - rc[flip, ::-1]
+            err = rng.random((n_reads, L)) < 0.005
+            rc = np.where(
+                err, rng.integers(0, 4, size=(n_reads, L)), rc
+            ).astype(np.uint8)
+        else:
+            rc = rng.integers(0, 4, size=(n_reads, read_len),
+                              dtype=np.int64).astype(np.uint8)
+        rlens = np.full(n_reads, read_len, dtype=np.int32)
+        return ReadArrays(rc, rlens, make_quals(),
+                          np.zeros(n_reads, dtype=bool))
+
+    m1 = reads_from_hits()
     if paired:
-        m2 = rand_reads()
+        m2 = reads_from_hits(mate2=True)
         reads = PairedReadArrays.build(m1, m2, 25)
     else:
         reads = m1

@@ -37,7 +37,7 @@ def main():
     ref, bundle, spec, model = synthetic_arrays_fast(
         n_reads=args.n_reads, M=args.M, read_len=args.read_len, tx_len=1500,
         paired=False, has_qual=True, mean_extra_hits=1.5, seed=0,
-        skewed_hits=True)
+        skewed_hits=True, consistent_reads=False)  # conprbs are synthetic
     H = bundle.hits.n_hits
     print(f"datagen            {time.perf_counter()-t0:8.2f}s  "
           f"H={H} ({H/args.n_reads:.2f} aln/read)", flush=True)

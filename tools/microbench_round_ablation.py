@@ -58,13 +58,14 @@ def main():
               flush=True)
         return out
 
+    from rsem_tpu.ops.model_loop import _hist_gather, _hist_scatter
+
     d = mdata
     timeit("pro gather_sum [Hp,128]",
            jax.jit(lambda t, f: profile_sum_pre(kcfg, t, f)), log_pro,
            d.flat1)
-    timeit("npro gather_sum [N,128]",
-           jax.jit(lambda t, f: noise_sum_pre(kcfg, t, f, n_reads)),
-           log_npro, d.nflat1)
+    timeit("noise hist gather [N,K] mm",
+           jax.jit(_hist_gather), d.noise_hist, log_npro)
     timeit("ltheta gather_rows [Hp]",
            jax.jit(lambda t, s: gather_rows(t, s)), theta, d.sid)
     w = jnp.abs(jnp.sin(jnp.arange(d.sid.shape[0], dtype=jnp.float32)))
@@ -78,10 +79,8 @@ def main():
     timeit("pro scatter_add [Hp,128]",
            jax.jit(lambda p, ww: profile_scatter_pre(kcfg, p, ww)),
            pre, w)
-    wn = inv
-    timeit("npro scatter_add [N,128]",
-           jax.jit(lambda f, ww: noise_scatter_pre(kcfg, f, ww)),
-           d.nflat1, wn)
+    timeit("noise hist scatter [N,K] mm",
+           jax.jit(_hist_scatter), d.noise_hist, inv)
     timeit("exp+elementwise [Hp]",
            jax.jit(lambda lp, s0h: jnp.exp(jnp.minimum(lp - s0h, 80.0))),
            d.lp_static, d.s0_hit)

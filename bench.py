@@ -200,6 +200,15 @@ def main():
     base = _baseline()
 
     if not fast:
+        # free the EM-stage device arrays before the posterior stages: the
+        # CI sample matrix alone is n*M*4 bytes (4 GB at defaults) and the
+        # paired-end pass builds its own full layout (r4: leftovers pushed
+        # the chip into ResourceExhausted)
+        del lcp_d, lnp_d, refd, m1, hd, dm, res_cold
+        import gc
+
+        gc.collect()
+
         # extras run independently: a failure (e.g. a transient TPU worker
         # crash) is recorded in detail without losing the headline
         def section(name, fn):
@@ -255,6 +264,8 @@ def main():
 
         # ---- paired-end + qual EM (BASELINE config 3 analogue) ----------
         def do_pe():
+            state.clear()  # drop Gibbs chain state / count vectors
+            gc.collect()
             ref_pe, bundle_pe, spec_pe, model_pe = synthetic_arrays_fast(
                 n_reads=n_reads, M=M, read_len=100, tx_len=2000,
                 paired=True, has_qual=True, mean_extra_hits=1.5, seed=1,

@@ -166,6 +166,10 @@ def run_ci(
 
     # ---- Phase II ----
     ci_fn = jax.jit(lambda s: _ci_columns(s, cover))
+    # single-device: chunk the [n, T] sort by transcript columns — the
+    # full matrix is n*M floats (4 GB at the 1000x50 x M=20k defaults)
+    # and the sort needs comparable workspace (r4: ResourceExhausted)
+    TCH = max(128, min(4096, (1 << 28) // max(int(n) * 4, 1)))
 
     def bounds(samples) -> CIBounds:
         if mesh is not None:
@@ -177,11 +181,28 @@ def run_ci(
             lb, ub, cqv = ci_fn(s)
             return CIBounds(np.array(lb)[:T], np.array(ub)[:T],
                             np.array(cqv)[:T])
-        lb, ub, cqv = ci_fn(samples)
-        return CIBounds(np.array(lb), np.array(ub), np.array(cqv))
+        return bounds_chunked(lambda lo, hi: samples[:, lo:hi],
+                              samples.shape[1])
 
-    iso_tpm_b = bounds(tpm)
-    iso_fpkm_b = bounds(tpm * inv_lbar)
+    def bounds_chunked(get_chunk, T) -> CIBounds:
+        lbs, ubs, cqvs = [], [], []
+        for lo in range(0, T, TCH):
+            hi = min(T, lo + TCH)
+            s = get_chunk(lo, hi)
+            if s.shape[1] < TCH:
+                s = jnp.pad(s, ((0, 0), (0, TCH - s.shape[1])))
+            lb, ub, cqv = ci_fn(s)
+            lbs.append(np.asarray(lb)[: hi - lo])
+            ubs.append(np.asarray(ub)[: hi - lo])
+            cqvs.append(np.asarray(cqv)[: hi - lo])
+        return CIBounds(np.concatenate(lbs), np.concatenate(ubs),
+                        np.concatenate(cqvs))
+
+    iso_tpm_b = (bounds(tpm) if mesh is not None else
+                 bounds_chunked(lambda lo, hi: tpm[:, lo:hi], M))
+    iso_fpkm_b = (bounds(tpm * inv_lbar) if mesh is not None else
+                  bounds_chunked(lambda lo, hi: tpm[:, lo:hi] * inv_lbar,
+                                 M))
 
     def with_zero(b: CIBounds) -> CIBounds:
         z = np.zeros(1)
@@ -195,11 +216,32 @@ def run_ci(
     # isoform CI directly, calcCI.cpp:350-357)
     m = gi.m
     gids = jnp.asarray(gi.gids_of(np.arange(1, M + 1)), dtype=jnp.int32)
-    gene_tpm_samples = jax.ops.segment_sum(
-        tpm.T, gids, num_segments=m, indices_are_sorted=True
-    ).T
-    gene_tpm_b = bounds(gene_tpm_samples)
-    gene_fpkm_b = bounds(gene_tpm_samples * inv_lbar)
+    if mesh is not None:
+        gene_tpm_samples = jax.ops.segment_sum(
+            tpm.T, gids, num_segments=m, indices_are_sorted=True
+        ).T
+        gene_tpm_b = bounds(gene_tpm_samples)
+        gene_fpkm_b = bounds(gene_tpm_samples * inv_lbar)
+    else:
+        # groups are contiguous in sid order: a gene chunk's sample sums
+        # need only its member-isoform columns (no [n, m] materialization)
+        gstarts = np.asarray(gi.starts, dtype=np.int64)
+
+        def gene_chunk(scale):
+            def get(lo, hi):
+                c0, c1 = int(gstarts[lo]) - 1, int(gstarts[hi]) - 1
+                cols = tpm[:, c0:c1]
+                if scale is not None:
+                    cols = cols * scale
+                seg = gids[c0:c1] - lo
+                return jax.ops.segment_sum(
+                    cols.T, seg, num_segments=hi - lo,
+                    indices_are_sorted=True,
+                ).T
+            return get
+
+        gene_tpm_b = bounds_chunked(gene_chunk(None), m)
+        gene_fpkm_b = bounds_chunked(gene_chunk(inv_lbar), m)
     n_iso = np.diff(gi.starts)
     single = n_iso == 1
     first_iso = gi.starts[:-1] - 1  # 0-based isoform index
@@ -218,11 +260,30 @@ def run_ci(
     if ta is not None:
         m_trans = ta.m
         tids = jnp.asarray(ta.gids_of(np.arange(1, M + 1)), dtype=jnp.int32)
-        it_samples = jax.ops.segment_sum(
-            tpm.T, tids, num_segments=m_trans, indices_are_sorted=True
-        ).T
-        it_b = bounds(it_samples)
-        if_b = bounds(it_samples * inv_lbar)
+        if mesh is not None:
+            it_samples = jax.ops.segment_sum(
+                tpm.T, tids, num_segments=m_trans, indices_are_sorted=True
+            ).T
+            it_b = bounds(it_samples)
+            if_b = bounds(it_samples * inv_lbar)
+        else:
+            tstarts = np.asarray(ta.starts, dtype=np.int64)
+
+            def trans_chunk(scale):
+                def get(lo, hi):
+                    c0, c1 = int(tstarts[lo]) - 1, int(tstarts[hi]) - 1
+                    cols = tpm[:, c0:c1]
+                    if scale is not None:
+                        cols = cols * scale
+                    seg = tids[c0:c1] - lo
+                    return jax.ops.segment_sum(
+                        cols.T, seg, num_segments=hi - lo,
+                        indices_are_sorted=True,
+                    ).T
+                return get
+
+            it_b = bounds_chunked(trans_chunk(None), m_trans)
+            if_b = bounds_chunked(trans_chunk(inv_lbar), m_trans)
         n_all = np.diff(ta.starts)
         single_t = n_all == 1
         first_a = ta.starts[:-1] - 1

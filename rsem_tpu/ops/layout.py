@@ -55,14 +55,30 @@ class ReadsDevice(NamedTuple):
 
     @classmethod
     def from_arrays(cls, ra, n_pad: Optional[int] = None) -> "ReadsDevice":
-        """ra: io.ReadArrays; n_pad: padded row count (defaults to ra.n)."""
+        """ra: io.ReadArrays; n_pad: padded row count (defaults to ra.n).
+
+        With quals present (and in u8-packable range), codes and quals
+        ship as ONE u8 array qc = qual*5 + code and unpack on device —
+        halving the [N, L] upload, which dominates H2D on hosts with a
+        slow link to the chip (r4: ~20 MB/s through the axon tunnel)."""
         n = n_pad or ra.n
         valid = np.zeros(n, dtype=bool)
         valid[: ra.n] = True
+        if (ra.quals is not None and ra.quals.size
+                and int(ra.quals.max()) <= 50):
+            qc = jnp.asarray(pad_to(
+                (ra.quals.astype(np.uint8) * np.uint8(5)
+                 + ra.codes.astype(np.uint8)), n))
+            codes = qc % np.uint8(5)
+            quals = qc // np.uint8(5)
+        else:
+            codes = jnp.asarray(pad_to(ra.codes, n))
+            quals = (jnp.asarray(pad_to(ra.quals, n))
+                     if ra.quals is not None else None)
         return cls(
-            codes=jnp.asarray(pad_to(ra.codes, n)),
+            codes=codes,
             lens=jnp.asarray(pad_to(ra.lens, n, fill=1), dtype=jnp.int32),
-            quals=(jnp.asarray(pad_to(ra.quals, n)) if ra.quals is not None else None),
+            quals=quals,
             lq=jnp.asarray(pad_to(ra.lq, n, fill=True)),
             valid=jnp.asarray(valid),
         )

@@ -188,8 +188,10 @@ def _run_fast_loop(theta, bundle, lcp_np, lnp_np, M, N0, em_cfg, rounds):
     )
 
     def final(th):
-        f, fn_ = jax.jit(lambda t: fast_final_fracs(t, fdata))(
-            jnp.asarray(th, dtype=jnp.float32))
+        # fdata as ARGUMENT: a closure would serialize the layout into the
+        # remote compile request (HTTP 413 at M=200k scale, r4)
+        f, fn_ = jax.jit(fast_final_fracs)(
+            jnp.asarray(th, dtype=jnp.float32), fdata)
         return (
             fetch64(f)[: bundle.hits.n_hits],
             fetch64(fn_)[: bundle.hits.n_reads],
@@ -388,10 +390,14 @@ class _PhaseClock:
 
     def report(self, label: str):
         if self.on:
+            import sys
+
             total = sum(self.acc.values())
-            print(f"[em timing] {label}: total {total:.2f}s", flush=True)
+            print(f"[em timing] {label}: total {total:.2f}s", flush=True,
+                  file=sys.stderr)
             for k, v in sorted(self.acc.items(), key=lambda kv: -kv[1]):
-                print(f"[em timing]   {k:28s} {v:8.2f}s", flush=True)
+                print(f"[em timing]   {k:28s} {v:8.2f}s", flush=True,
+                      file=sys.stderr)
 
 
 # --------------------------------------------------------------------- #

@@ -222,7 +222,9 @@ def fast_final_fracs_sharded(theta: jnp.ndarray, sd: ShardedFastData):
             restore_read_b=restore_read_b,
             n_reads=int(sd.bounds[d + 1] - sd.bounds[d]), M=sd.M, n0=sd.n0,
         )
-        f, fn_ = jax.jit(lambda t: fast_final_fracs(t, data))(theta)
+        # data as ARGUMENT: a closure would serialize the layout into the
+        # remote compile request (HTTP 413 at scale, r4)
+        f, fn_ = jax.jit(fast_final_fracs)(theta, data)
         frac[sd.hit_bounds[d]:sd.hit_bounds[d + 1]] = np.asarray(
             f, dtype=np.float64)[: data.restore_hit.shape[0]]
         frac_noise[sd.bounds[d]:sd.bounds[d + 1]] = np.asarray(

@@ -567,6 +567,14 @@ def build_parser() -> argparse.ArgumentParser:
         "reference_name sample_name; with --alignments: input "
         "reference_name sample_name (read-file lists are comma-separated)",
     )
+    # deprecated aliases kept for reference-CLI parity
+    # (rsem-calculate-expression:139-141: --sam / --bam imply --alignments)
+    p.add_argument("--sam", action="store_true",
+                   help="deprecated alias: input is SAM (implies "
+                   "--alignments)")
+    p.add_argument("--bam", action="store_true",
+                   help="deprecated alias: input is BAM (implies "
+                   "--alignments)")
     p.add_argument("--alignments", nargs="?", const=True, default=None,
                    metavar="SAM/BAM",
                    help="input is SAM/BAM aligned to the transcript "
@@ -661,6 +669,8 @@ def _resolve_inputs(args):
     reference_name, sample_name) following the reference's 3/4-positional
     convention (rsem-calculate-expression:337-348)."""
     pos = list(args.inputs)
+    if args.alignments is None and (args.sam or args.bam):
+        args.alignments = True  # deprecated aliases imply --alignments
     if args.alignments is not None:
         if isinstance(args.alignments, str):
             if len(pos) != 2:

@@ -43,7 +43,7 @@ def main():
     from rsem_tpu.pipeline.calculate_expression import main as calc_main
 
     t0 = time.time()
-    calc_main(["--alignments", "--sam", sam, "--time", refname, "bench_s"])
+    calc_main(["--alignments", sam, refname, "bench_s", "--time"])
     total = time.time() - t0
     timing = {}
     if os.path.exists("bench_s.time"):

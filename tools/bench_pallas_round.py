@@ -66,16 +66,16 @@ def main():
 
     theta0 = jnp.full((M + 1,), 1.0 / (M + 1), dtype=jnp.float32)
 
-    pallas_fn = jax.jit(lambda t: pallas_theta_round(t, pdata))
-    t_p, c_p = pallas_fn(theta0)
+    pallas_fn = jax.jit(pallas_theta_round)
+    t_p, c_p = pallas_fn(theta0, pdata)
     jax.block_until_ready((t_p, c_p))
     dt_pallas = timeit(pallas_fn, theta0, name="pallas_theta_round")
 
     t0 = time.perf_counter()
     fdata = build_fast_data(bundle.hits, lcp, lnp, M, 0.0)
     print(f"build_fast_data: {time.perf_counter()-t0:.2f}s")
-    fast_fn = jax.jit(lambda t: fast_theta_round(t, fdata))
-    t_f, c_f = fast_fn(theta0)
+    fast_fn = jax.jit(fast_theta_round)
+    t_f, c_f = fast_fn(theta0, fdata)
     jax.block_until_ready((t_f, c_f))
     dt_fast = timeit(fast_fn, theta0, name="fast_theta_round (XLA)")
 

@@ -59,25 +59,27 @@ def main():
           f"(slots={slots}, chunks={fdata.cps_c.shape})", flush=True)
 
     theta0 = jnp.full((ref.M + 1,), 1.0 / (ref.M + 1), dtype=jnp.float32)
-    round_fn = jax.jit(lambda t: fast_theta_round(t, fdata)[0])
+    # fdata MUST be a jit ARGUMENT: a closure would serialize the multi-GB
+    # layout into the remote compile request (HTTP 413 at M=200k, r4)
+    round_fn = jax.jit(lambda t, d: fast_theta_round(t, d)[0])
     t0 = time.perf_counter()
-    th = round_fn(theta0)
+    th = round_fn(theta0, fdata)
     sync(th)
     print(f"round compile+1st  {time.perf_counter()-t0:8.2f}s", flush=True)
     it = 10
     t0 = time.perf_counter()
     th = theta0
     for _ in range(it):
-        th = round_fn(th)
+        th = round_fn(th, fdata)
     sync(th)
     dt = (time.perf_counter() - t0) / it
     print(f"round steady       {dt*1e3:8.2f}ms  "
           f"({args.n_reads/dt/1e6:.1f}M reads/s/chip, "
           f"{H/dt/1e6:.1f}M hits/s)", flush=True)
 
-    loop_fn = jax.jit(lambda t: run_fast_em_loop(t, fdata))
+    loop_fn = jax.jit(run_fast_em_loop)
     t0 = time.perf_counter()
-    th, c, r = loop_fn(theta0)
+    th, c, r = loop_fn(theta0, fdata)
     sync(th)
     print(f"loop to converge   {time.perf_counter()-t0:8.2f}s  "
           f"rounds={int(r)} (incl compile)", flush=True)

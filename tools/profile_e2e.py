@@ -80,8 +80,8 @@ def main():
         fdata = build_fast_data(bundle.hits, lcp, lnp, M, 0.0)
         sync(fdata.cps_c)
         print(f"layout build+H2D   {time.perf_counter()-t0:8.2f}s", flush=True)
-        round_fn = jax.jit(lambda t: fast_theta_round(t, fdata)[0])
-        loop_fn = jax.jit(lambda t: run_fast_em_loop(t, fdata))
+        round_fn = jax.jit(lambda t, d: fast_theta_round(t, d)[0])
+        loop_fn = jax.jit(run_fast_em_loop)
     else:
         from rsem_tpu.ops.pallas_round import (build_pallas_data,
                                                pallas_theta_round,
@@ -90,31 +90,31 @@ def main():
         fdata = build_pallas_data(bundle.hits, lcp, lnp, M, 0.0)
         sync(fdata.cps_t)
         print(f"layout build+H2D   {time.perf_counter()-t0:8.2f}s", flush=True)
-        round_fn = jax.jit(lambda t: pallas_theta_round(t, fdata)[0])
-        loop_fn = jax.jit(lambda t: run_pallas_em_loop(t, fdata))
+        round_fn = jax.jit(lambda t, d: pallas_theta_round(t, d)[0])
+        loop_fn = jax.jit(run_pallas_em_loop)
 
     t0 = time.perf_counter()
-    th = round_fn(theta0)
+    th = round_fn(theta0, fdata)
     sync(th)
     print(f"round compile+1st  {time.perf_counter()-t0:8.2f}s", flush=True)
     it = 20
     t0 = time.perf_counter()
     th = theta0
     for _ in range(it):
-        th = round_fn(th)
+        th = round_fn(th, fdata)
     sync(th)
     dt = (time.perf_counter() - t0) / it
     print(f"round steady       {dt*1e3:8.2f}ms  "
           f"({args.n_reads/dt/1e6:.1f}M reads/s)", flush=True)
 
     t0 = time.perf_counter()
-    th, c, r = loop_fn(theta0)
+    th, c, r = loop_fn(theta0, fdata)
     sync(th)
     rr = int(r)
     print(f"loop compile+run   {time.perf_counter()-t0:8.2f}s  rounds={rr}",
           flush=True)
     t0 = time.perf_counter()
-    th, c, r = loop_fn(theta0)
+    th, c, r = loop_fn(theta0, fdata)
     sync(th)
     print(f"loop warm          {time.perf_counter()-t0:8.2f}s  rounds={int(r)}",
           flush=True)

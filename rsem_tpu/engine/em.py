@@ -178,14 +178,26 @@ def _run_fast_loop(theta, bundle, lcp_np, lnp_np, M, N0, em_cfg, rounds):
     )
 
     fdata = build_fast_data(bundle.hits, lcp_np, lnp_np, M, float(N0))
-    loop_fn = jax.jit(
-        partial(run_fast_em_loop, min_round=em_cfg.min_round,
-                max_round=em_cfg.max_round)
-    )
-    theta_dev, counts_dev, rounds_dev = loop_fn(
-        jnp.asarray(theta, dtype=jnp.float32), fdata,
-        start_round=jnp.asarray(rounds, dtype=jnp.int32),
-    )
+    # bounded-segment dispatch: at large M a single while_loop spanning
+    # hundreds of rounds runs for minutes and trips the remote TPU
+    # worker's watchdog (r4); semantics are identical — the convergence
+    # test runs inside each segment, capped at SEG rounds per dispatch
+    SEG = 64
+    loop_fn = jax.jit(run_fast_em_loop)
+    theta_dev = jnp.asarray(theta, dtype=jnp.float32)
+    r = rounds
+    tot = 1
+    while r < em_cfg.min_round or (tot > 0 and r < em_cfg.max_round):
+        target = min(r + SEG, em_cfg.max_round)
+        theta_dev, counts_dev, rounds_dev, tot_dev = loop_fn(
+            theta_dev, fdata,
+            min_round=jnp.asarray(min(em_cfg.min_round, target),
+                                  dtype=jnp.int32),
+            max_round=jnp.asarray(target, dtype=jnp.int32),
+            start_round=jnp.asarray(r, dtype=jnp.int32),
+        )
+        r = int(rounds_dev)
+        tot = int(tot_dev)
 
     def final(th):
         # fdata as ARGUMENT: a closure would serialize the layout into the

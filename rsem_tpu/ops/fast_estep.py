@@ -109,6 +109,33 @@ class FastEStepData(NamedTuple):
     n0: float
 
 
+# custom pytree: the int/float metadata rides as AUX so it stays concrete
+# when a FastEStepData is passed through jax.jit as an ARGUMENT — which is
+# the required way to pass it (closure capture serializes the multi-GB
+# layout into the remote compile request: HTTP 413 at M=200k, r4)
+def _fed_flatten(d: "FastEStepData"):
+    leaves = (d.sid_b, d.cps_b, d.ncs_b, d.cps_c, d.rloc_c,
+              d.sid_starts_c, d.restore_hit, d.restore_read_b)
+    aux = (d.rows_pad, d.n_reads, d.M, d.n0)
+    return leaves, aux
+
+
+def _fed_unflatten(aux, leaves):
+    rows_pad, n_reads, M, n0 = aux
+    (sid_b, cps_b, ncs_b, cps_c, rloc_c, sid_starts_c, restore_hit,
+     restore_read_b) = leaves
+    return FastEStepData(
+        sid_b=sid_b, cps_b=cps_b, ncs_b=ncs_b, cps_c=cps_c, rloc_c=rloc_c,
+        sid_starts_c=sid_starts_c, rows_pad=rows_pad,
+        restore_hit=restore_hit, restore_read_b=restore_read_b,
+        n_reads=n_reads, M=M, n0=n0,
+    )
+
+
+jax.tree_util.register_pytree_node(FastEStepData, _fed_flatten,
+                                   _fed_unflatten)
+
+
 def _bucket_sizes(max_hits: int) -> list:
     out = []
     k = 1
@@ -442,10 +469,15 @@ def run_fast_em_loop(
     max_round: int = MAX_ROUND,
     start_round: int = 0,
     axis_name: Optional[str] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Full on-device EM loop with the reference convergence rule.
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """On-device EM loop with the reference convergence rule.
 
-    Returns (theta, counts, rounds_executed_total). With axis_name set the
+    Returns (theta, counts, rounds_executed_total, tot_num): tot_num is
+    the count of theta entries still violating the convergence test, so a
+    caller can dispatch the loop in bounded segments (pass max_round =
+    start + segment) and keep iterating while tot_num > 0 — at large M a
+    single dispatch spanning hundreds of rounds runs for minutes and
+    trips the remote TPU worker's watchdog (r4). With axis_name set the
     loop runs inside shard_map: theta/counts are replicated, the round's
     sufficient statistics are psum'd, so the convergence decision is
     identical on every device."""
@@ -468,8 +500,7 @@ def run_fast_em_loop(
         jnp.asarray(start_round, dtype=jnp.int32),
         jnp.asarray(1, dtype=jnp.int32),
     )
-    theta, counts, rounds, _ = jax.lax.while_loop(cond, body, init)
-    return theta, counts, rounds
+    return jax.lax.while_loop(cond, body, init)
 
 
 def fast_final_fracs(theta: jnp.ndarray, data: FastEStepData):

@@ -188,10 +188,11 @@ def run_fast_em_loop_sharded(
 
     def local(theta0, start_round, leaves):
         data = _local_data(leaves, sd.M, sd.n0, sd.n_chunks)
-        return run_fast_em_loop(
+        theta, counts, rounds, _tot = run_fast_em_loop(
             theta0, data, min_round=min_round, max_round=max_round,
             start_round=start_round, axis_name="dp",
         )
+        return theta, counts, rounds
 
     specs_data = jax.tree.map(lambda _: P("dp"), sd.leaves)
     fn = shard_map(

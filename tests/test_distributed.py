@@ -103,7 +103,7 @@ def test_two_process_cpu_cluster(tmp_path):
     lnp = rng.normal(-25, 3, bundle.hits.n_reads)
     fdata = build_fast_data(bundle.hits, lcp, lnp, ref.M, 5.0)
     theta0 = jnp.full((ref.M + 1,), 1.0 / (ref.M + 1), dtype=jnp.float32)
-    theta, _, _ = jax.jit(lambda t: run_fast_em_loop(t, fdata))(theta0)
+    theta, _, _, _ = jax.jit(lambda t: run_fast_em_loop(t, fdata))(theta0)
     expected = np.asarray(jax.device_get(theta))
 
     for out in outs:

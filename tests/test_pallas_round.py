@@ -81,7 +81,7 @@ def test_loop_matches_fast_estep():
     fdata = build_fast_data(hits, lcp, lnp, M, 3.0)
     pdata = build_pallas_data(hits, lcp, lnp, M, 3.0)
     theta0 = jnp.full((M + 1,), 1.0 / (M + 1), dtype=jnp.float32)
-    t_ref, c_ref, r_ref = run_fast_em_loop(theta0, fdata, max_round=40)
+    t_ref, c_ref, r_ref, _ = run_fast_em_loop(theta0, fdata, max_round=40)
     t_new, c_new, r_new = run_pallas_em_loop(
         theta0, pdata, max_round=40, interpret=True
     )

@@ -113,7 +113,7 @@ def test_sharded_fast_loop_matches_single_device():
     theta0 = np.full(M + 1, 1.0 / (M + 1), dtype=np.float32)
 
     fdata = build_fast_data(bundle.hits, lcp, lnp, M, n0)
-    t1, c1, r1 = jax.jit(lambda t: run_fast_em_loop(t, fdata))(
+    t1, c1, r1, _ = jax.jit(lambda t: run_fast_em_loop(t, fdata))(
         jnp.asarray(theta0))
     f1, fn1 = jax.jit(lambda t: fast_final_fracs(t, fdata))(t1)
     f1 = np.asarray(f1)[: bundle.hits.n_hits]

@@ -118,7 +118,7 @@ def test_full_em_loop_converges_at_scale(big_problem):
     log_ncp = np.full(N, -1e9)
     fdata = build_fast_data(bundle.hits, log_cp, log_ncp, M, n0=0.0)
     theta0 = jnp.asarray(np.full(M + 1, 1.0 / (M + 1)), jnp.float32)
-    theta, counts, rounds = run_fast_em_loop(theta0, fdata, max_round=60)
+    theta, counts, rounds, _ = run_fast_em_loop(theta0, fdata, max_round=60)
     theta = np.asarray(theta)
     assert np.isfinite(theta).all()
     assert abs(theta.sum() - 1.0) < 1e-4

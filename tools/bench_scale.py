@@ -77,12 +77,21 @@ def main():
           f"({args.n_reads/dt/1e6:.1f}M reads/s/chip, "
           f"{H/dt/1e6:.1f}M hits/s)", flush=True)
 
+    # segmented loop (bounded dispatches — a single while_loop spanning
+    # hundreds of rounds tripped the TPU worker watchdog at this scale)
     loop_fn = jax.jit(run_fast_em_loop)
     t0 = time.perf_counter()
-    th, c, r = loop_fn(theta0, fdata)
-    sync(th)
-    print(f"loop to converge   {time.perf_counter()-t0:8.2f}s  "
-          f"rounds={int(r)} (incl compile)", flush=True)
+    th, r, tot = theta0, 0, 1
+    while (r < 20 or tot > 0) and r < 200:
+        target = r + 20
+        th, c, rr, td = loop_fn(
+            theta0 if r == 0 else th, fdata,
+            min_round=jnp.asarray(min(20, target), jnp.int32),
+            max_round=jnp.asarray(target, jnp.int32),
+            start_round=jnp.asarray(r, jnp.int32))
+        r, tot = int(rr), int(td)
+    print(f"loop (20-round segments) {time.perf_counter()-t0:8.2f}s  "
+          f"rounds={r} converged={tot == 0} (incl compile)", flush=True)
 
 
 if __name__ == "__main__":

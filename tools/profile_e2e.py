@@ -108,13 +108,13 @@ def main():
           f"({args.n_reads/dt/1e6:.1f}M reads/s)", flush=True)
 
     t0 = time.perf_counter()
-    th, c, r = loop_fn(theta0, fdata)
+    th, c, r, *_ = loop_fn(theta0, fdata)
     sync(th)
     rr = int(r)
     print(f"loop compile+run   {time.perf_counter()-t0:8.2f}s  rounds={rr}",
           flush=True)
     t0 = time.perf_counter()
-    th, c, r = loop_fn(theta0, fdata)
+    th, c, r, *_ = loop_fn(theta0, fdata)
     sync(th)
     print(f"loop warm          {time.perf_counter()-t0:8.2f}s  rounds={int(r)}",
           flush=True)

@@ -43,7 +43,11 @@ def main():
     from rsem_tpu.pipeline.calculate_expression import main as calc_main
 
     t0 = time.time()
-    calc_main(["--alignments", sam, refname, "bench_s", "--time"])
+    # --no-bam-output: the reference comparator (parse+EM) excludes BAM
+    # writeback; the posterior-BAM write was measured separately (72.9s
+    # r4 first run, io/bam_writer.py)
+    calc_main(["--alignments", sam, refname, "bench_s", "--time",
+               "--no-bam-output"])
     total = time.time() - t0
     timing = {}
     if os.path.exists("bench_s.time"):

@@ -290,11 +290,11 @@ def main():
 
         section("hybrid_em", do_hybrid)
 
-    # headline = what production (`auto`) delivers on this host: the
-    # faster of the pure-device pass and the hybrid pass (native CPU model
-    # rounds + TPU theta loop). On this bench host the device path pays
-    # ~10 s of H2D through a ~20 MB/s tunnel, so hybrid usually wins;
-    # both numbers are in detail either way (r3 verdict item 6).
+    # headline = best of the measured backends (pure-device pass vs the
+    # hybrid pass: native CPU model rounds + TPU theta loop). NOTE this is
+    # best-of-backends, not necessarily what `backend='auto'` picks (auto
+    # prefers hybrid whenever the sidecar exists); both numbers are in
+    # detail either way (r3 verdict item 6, advisor r4).
     headline_sec = min(warm_sec, detail.get("em_hybrid_sec", warm_sec))
 
     vs = None
@@ -317,7 +317,7 @@ def main():
         "metric": (
             f"EM end-to-end wall-clock ({n_reads} reads, 2.5 aln/read, "
             f"M={M}; 10 fused model rounds + theta loop + final E-step; "
-            "best backend = production auto pick)"
+            "best of measured backends)"
         ),
         "value": round(headline_sec, 3),
         "unit": "seconds",

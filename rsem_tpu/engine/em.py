@@ -65,6 +65,15 @@ class EMConfig:
     # round when supported (TPU backend, M <= 64k), else the XLA round
     fast_kernel: str = "auto"  # auto | pallas | xla
 
+    def __post_init__(self):
+        # the segmented theta-loop drivers assume min_round <= max_round
+        # (a violation would spin the outer host while forever)
+        if self.min_round > self.max_round:
+            raise ValueError(
+                f"min_round ({self.min_round}) must be <= max_round "
+                f"({self.max_round})"
+            )
+
 
 @dataclass
 class EMResult:

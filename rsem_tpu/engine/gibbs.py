@@ -41,6 +41,11 @@ class GibbsConfig:
     nsamples: int = 1000
     gap: int = 1
     n_chains: int = 8
+    # within-sweep count-refresh budget: reads are resampled in ~n_blocks
+    # consecutive blocks per sweep, so any read samples against counts at
+    # most ~N1/n_blocks reads stale (exact collapsed sweep as
+    # n_blocks -> N1); per-bucket shares are ceil'd so no bucket exceeds
+    # that staleness bound
     n_blocks: int = 32
     pseudo_count: float = 1.0
     seed: int = 0
@@ -228,8 +233,10 @@ def run_gibbs(
         z_out = list(z_bs)
         for b, (sid_b, lcp_b, rows) in enumerate(data.buckets):
             n = sid_b.shape[0]
+            # ceil keeps each bucket's per-refresh staleness at or below
+            # ~total_reads/n_blocks even for small buckets (advisor r4)
             nblk = max(1, min(
-                round(cfg.n_blocks * n / max(total_reads_b, 1)), n))
+                -(-(cfg.n_blocks * n) // max(total_reads_b, 1)), n))
             blk = -(-n // nblk)
             zfull = z_out[b]
             for j in range(nblk):

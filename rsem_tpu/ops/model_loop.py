@@ -88,10 +88,10 @@ class ModelLoopData(NamedTuple):
     s0_hit: jnp.ndarray  # [Hp] f32 s0[rid]
     flat1: jnp.ndarray  # PreIdx profile indices
     flat2: Optional[jnp.ndarray]
-    # static per-read noise-key HISTOGRAM [N, npro_keys] bf16 (counts
-    # <= 2*max_read_len, exact in bf16): the per-round noise table
-    # gather/scatter become two skinny MXU matmuls instead of 128-lane
-    # table kernels (r4 ablation: 8.2 + 84.6 ms -> ~1 ms)
+    # static per-read noise-key HISTOGRAM [N, npro_keys] (bf16 when the
+    # per-read position total is <= 256 so counts stay exact, else f32):
+    # the per-round noise table gather/scatter become two skinny MXU
+    # matmuls instead of 128-lane table kernels (r4: 8.2 + 84.6 ms -> ~1 ms)
     noise_hist: jnp.ndarray
     npro_c: jnp.ndarray  # fixed N0 noise counts (compact key window)
     n0: jnp.ndarray  # f32 scalar
@@ -155,6 +155,12 @@ def build_model_loop_data(
     # per-read counts over the compact key window, chunked to bound the
     # one-hot intermediate
     K = cfg.npro_keys()
+    # bf16 represents integers exactly only up to 256; per-key counts are
+    # bounded by the total base positions per read, so long reads (or
+    # paired reads summing past 256) keep the histogram in float32
+    pos_total = pre.nflat1.shape[1] + (
+        pre.nflat2.shape[1] if cfg.paired else 0)
+    hist_dtype = jnp.bfloat16 if pos_total <= 256 else jnp.float32
 
     def hist_of(nflat):
         n_rows = nflat.shape[0]
@@ -168,7 +174,7 @@ def build_model_loop_data(
             return jnp.sum(oh, axis=1, dtype=jnp.int32)
 
         h = jax.lax.map(chunk, f.reshape(n_pad // C, C, -1))
-        return h.reshape(n_pad, K)[:n_reads].astype(jnp.bfloat16)
+        return h.reshape(n_pad, K)[:n_reads].astype(hist_dtype)
 
     noise_hist = hist_of(pre.nflat1)
     if cfg.paired:

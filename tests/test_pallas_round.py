@@ -135,7 +135,7 @@ def test_loop_jitted_like_engine():
         theta0, pdata, start_round=jnp.asarray(0, dtype=jnp.int32)
     )
     fdata = build_fast_data(hits, lcp, lnp, M, 1.0)
-    t_ref, c_ref, r_ref = run_fast_em_loop(theta0, fdata, max_round=30)
+    t_ref, c_ref, r_ref, _tot = run_fast_em_loop(theta0, fdata, max_round=30)
     assert int(r_new) == int(r_ref)
     np.testing.assert_allclose(
         np.asarray(t_new), np.asarray(t_ref), rtol=5e-4, atol=1e-8

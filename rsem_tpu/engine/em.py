@@ -473,6 +473,8 @@ def _run_em_device(model, ref, bundle, em_cfg, need_posteriors) -> EMResult:
 
     pre_budget = int(_os.environ.get("RSEM_TPU_PREIDX_BUDGET",
                                      6 * 1024**3))
+    clock = _PhaseClock()
+    clock.lap("setup+H2D")
     if preidx_bytes(kcfg, int(hd.rid.shape[0]),
                     int(m1.lens.shape[0])) <= pre_budget:
         # EAGER on purpose: one monolithic jitted program here hit
@@ -481,6 +483,10 @@ def _run_em_device(model, ref, bundle, em_cfg, need_posteriors) -> EMResult:
         from ..ops.conprb import precompute_profile_indices_eager
 
         pre = precompute_profile_indices_eager(kcfg, refd, m1, m2, hd)
+        from ..utils.jaxinit import sync as _sync_
+
+        _sync_(pre.flat1)
+    clock.lap("PreIdx eager build")
 
     @jax.jit
     def round_fn(log_theta, log_conprb, log_ncp, dev_model, refd_, m1_, m2_,
@@ -499,10 +505,8 @@ def _run_em_device(model, ref, bundle, em_cfg, need_posteriors) -> EMResult:
     def to_dev(model_np: Dict[str, np.ndarray]):
         return {k: jnp.asarray(v, dtype=jnp.float32) for k, v in model_np.items()}
 
-    clock = _PhaseClock()
     theta = _theta_init(cnt, M)
     dev_model = to_dev(model.device_arrays())
-    clock.lap("setup+H2D")
 
     n_model_rounds = min(em_cfg.update_model_rounds, em_cfg.max_round)
     from ..ops.model_loop import fused_supported
@@ -531,6 +535,11 @@ def _run_em_device(model, ref, bundle, em_cfg, need_posteriors) -> EMResult:
                         dtype=jnp.float32),
             jnp.asarray(float(N0), dtype=jnp.float32),
         )
+        if clock.on:
+            from ..utils.jaxinit import sync as _sync2
+
+            _sync2(mdata.s0)
+            clock.lap("model: loop-data build")
         theta_dev, suff = jit_model_loop(
             kcfg, mdata, tables_from_model(kcfg, dev_model),
             jnp.asarray(theta, dtype=jnp.float32), n_model_rounds,

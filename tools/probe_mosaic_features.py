@@ -10,6 +10,10 @@ import os
 import sys
 
 import jax
+
+if os.environ.get("PROBE_CPU") == "1":
+    # ambient env pins JAX_PLATFORMS=tpu and ignores env overrides
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
@@ -19,11 +23,28 @@ INTERPRET = jax.default_backend() != "tpu"
 print("backend:", jax.default_backend(), "interpret:", INTERPRET)
 
 
+def _mix32(h):
+    h = jax.lax.bitwise_xor(
+        h, jax.lax.shift_right_logical(h, jnp.int32(16)))
+    h = h * jnp.int32(-2048144789)
+    h = jax.lax.bitwise_xor(
+        h, jax.lax.shift_right_logical(h, jnp.int32(13)))
+    h = h * jnp.int32(-1028477387)
+    h = jax.lax.bitwise_xor(
+        h, jax.lax.shift_right_logical(h, jnp.int32(16)))
+    return h
+
+
 def kern(seed_ref, lohi_ref, x_ref, out_ref, rnd_ref, tbl_ref):
     i = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0], i)
-    bits = pltpu.prng_random_bits((8, 128))
-    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    h = _mix32(seed_ref[0] + i * jnp.int32(0x7F4A7C15))
+    k1 = h + rowi * jnp.int32(128) + lane
+    u = jax.lax.bitwise_and(
+        jax.lax.shift_right_logical(_mix32(_mix32(k1)), jnp.int32(7)),
+        jnp.int32(0xFFFFFF),
+    ).astype(jnp.float32) * (1.0 / (1 << 24))
     rnd_ref[:] = u
 
     @pl.when(i == 0)

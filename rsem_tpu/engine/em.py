@@ -106,12 +106,29 @@ def _n_fast_devices() -> int:
         return 1
 
 
-def _run_fast_loop(theta, bundle, lcp_np, lnp_np, M, N0, em_cfg, rounds):
+def _run_fast_loop(theta, bundle, lcp_np, lnp_np, M, N0, em_cfg, rounds,
+                   lcp_dev=None, lnp_dev=None, sid_dev=None,
+                   need_restore=True):
     """Dispatch the theta-only EM while_loop: read-sharded over the mesh
     when >1 device is visible (EM.cpp:373-389's pthread loop, psum-merged),
-    single-device otherwise. Returns (theta f64, rounds, fast_ctx) where
-    fast_ctx recomputes the final posterior fracs."""
+    single-device otherwise. Returns (theta f64, rounds, final,
+    final_counts): `final(theta)` recomputes the per-hit posterior fracs
+    (host arrays); `final_counts(theta)` (or None) fetches only the [M+1]
+    expected counts — the cheap path when no posteriors are needed.
+
+    With lcp_dev/lnp_dev/sid_dev set (the DEVICE frozen conprbs + sid),
+    the Pallas layout is filled on device — no conprb D2H, no tile H2D
+    (~40-90 MB/s tunnel on the dev host); lcp_np/lnp_np may then be None
+    and are only materialized if the XLA fallback actually runs."""
     n_dev = _n_fast_devices()
+
+    def _host_conprbs():
+        nonlocal lcp_np, lnp_np
+        if lcp_np is None:
+            lcp_np = fetch64(lcp_dev)[: bundle.hits.n_hits]
+            lnp_np = fetch64(lnp_dev)[: bundle.hits.n_reads]
+        return lcp_np, lnp_np
+
     if n_dev > 1:
         from ..parallel.fast_sharded import (
             build_fast_data_sharded,
@@ -121,6 +138,7 @@ def _run_fast_loop(theta, bundle, lcp_np, lnp_np, M, N0, em_cfg, rounds):
         )
         from ..parallel.mesh import make_mesh
 
+        lcp_np, lnp_np = _host_conprbs()
         mesh = make_mesh(n_dev)
         sd = place_fast_sharded(
             mesh,
@@ -134,7 +152,7 @@ def _run_fast_loop(theta, bundle, lcp_np, lnp_np, M, N0, em_cfg, rounds):
         )
         final = lambda th: fast_final_fracs_sharded(
             jnp.asarray(th, dtype=jnp.float32), sd)
-        return fetch64(theta_dev), int(rounds_dev), final
+        return fetch64(theta_dev), int(rounds_dev), final, None
 
     from ..ops import pallas_round as _pr
 
@@ -142,8 +160,14 @@ def _run_fast_loop(theta, bundle, lcp_np, lnp_np, M, N0, em_cfg, rounds):
         em_cfg.fast_kernel == "auto" and _pr.pallas_supported(M)
     )
     if use_pallas:
-        pdata = _pr.build_pallas_data(bundle.hits, lcp_np, lnp_np, M,
-                                      float(N0))
+        if lcp_dev is not None:
+            pdata = _pr.build_pallas_data_device(
+                bundle.hits, lcp_dev, lnp_dev, sid_dev, M, float(N0),
+                need_restore=need_restore,
+            )
+        else:
+            pdata = _pr.build_pallas_data(bundle.hits, lcp_np, lnp_np, M,
+                                          float(N0))
         # pdata rides through jit as an ARGUMENT: its custom pytree keeps
         # the grid-sizing int metadata concrete (aux_data) while the tiles
         # stay device buffers instead of embedded program constants
@@ -178,14 +202,20 @@ def _run_fast_loop(theta, bundle, lcp_np, lnp_np, M, N0, em_cfg, rounds):
                     fetch64(fn_)[: bundle.hits.n_reads],
                 )
 
-            return fetch64(theta_dev), int(rounds_dev), final
+            def final_counts(th):
+                return fetch64(_pr.jit_pallas_counts(
+                    jnp.asarray(th, dtype=jnp.float32), pdata))
+
+            return fetch64(theta_dev), int(rounds_dev), final, final_counts
 
     from ..ops.fast_estep import (
         build_fast_data,
         fast_final_fracs,
+        jit_fast_theta_round,
         run_fast_em_loop,
     )
 
+    lcp_np, lnp_np = _host_conprbs()
     fdata = build_fast_data(bundle.hits, lcp_np, lnp_np, M, float(N0))
     # bounded-segment dispatch: at large M a single while_loop spanning
     # hundreds of rounds runs for minutes and trips the remote TPU
@@ -218,7 +248,13 @@ def _run_fast_loop(theta, bundle, lcp_np, lnp_np, M, N0, em_cfg, rounds):
             fetch64(fn_)[: bundle.hits.n_reads],
         )
 
-    return fetch64(theta_dev), int(rounds_dev), final
+    def final_counts(th):
+        return fetch64(
+            jit_fast_theta_round(jnp.asarray(th, dtype=jnp.float32),
+                                 fdata)[1]
+        )
+
+    return fetch64(theta_dev), int(rounds_dev), final, final_counts
 
 
 def _theta_init(cnt, M: int) -> np.ndarray:
@@ -301,7 +337,7 @@ def _run_em_hybrid(model, ref, bundle, em_cfg, need_posteriors) -> EMResult:
             _b, tot_num = _bchange(new_theta, theta)
             theta = new_theta
     else:
-        theta, rounds, _final = _run_fast_loop(
+        theta, rounds, _final, _fc = _run_fast_loop(
             theta, bundle, lcp_np, lnp_np, M, N0, em_cfg, rounds
         )
 
@@ -382,7 +418,7 @@ def _run_em_device_sharded(model, ref, bundle, em_cfg, need_posteriors,
         lnp_sh[d, : bounds[d + 1] - bounds[d]] for d in range(n_dev)
     ])
 
-    theta, rounds, final = _run_fast_loop(
+    theta, rounds, final, _fc = _run_fast_loop(
         theta, bundle, lcp_np, lnp_np, M, N0, em_cfg, rounds
     )
     frac_hit, frac_noise = final(theta)
@@ -477,16 +513,23 @@ def _run_em_device(model, ref, bundle, em_cfg, need_posteriors) -> EMResult:
     clock.lap("setup+H2D")
     if preidx_bytes(kcfg, int(hd.rid.shape[0]),
                     int(m1.lens.shape[0])) <= pre_budget:
-        # EAGER on purpose: one monolithic jitted program here hit
-        # multi-minute remote compiles on the axon platform (see
-        # precompute_profile_indices_eager's docstring)
-        from ..ops.conprb import precompute_profile_indices_eager
+        if _os.environ.get("RSEM_TPU_PREIDX_EAGER") == "1":
+            # escape hatch: op-by-op eager build (r4 saw multi-minute
+            # remote compiles on SOME monolithic programs; the fused
+            # windowed builder below compiles in seconds and runs ~10x
+            # faster — see precompute_profile_indices_fused)
+            from ..ops.conprb import precompute_profile_indices_eager
 
-        pre = precompute_profile_indices_eager(kcfg, refd, m1, m2, hd)
-        from ..utils.jaxinit import sync as _sync_
+            pre = precompute_profile_indices_eager(kcfg, refd, m1, m2, hd)
+        else:
+            from ..ops.conprb import precompute_profile_indices_fused
 
-        _sync_(pre.flat1)
-    clock.lap("PreIdx eager build")
+            pre = precompute_profile_indices_fused(kcfg, refd, m1, m2, hd)
+        if clock.on:
+            from ..utils.jaxinit import sync as _sync_
+
+            _sync_(pre.flat1)
+    clock.lap("PreIdx build")
 
     @jax.jit
     def round_fn(log_theta, log_conprb, log_ncp, dev_model, refd_, m1_, m2_,
@@ -511,10 +554,11 @@ def _run_em_device(model, ref, bundle, em_cfg, need_posteriors) -> EMResult:
     n_model_rounds = min(em_cfg.update_model_rounds, em_cfg.max_round)
     from ..ops.model_loop import fused_supported
 
+    min_fl = int(np.min(ref.full_len[1:])) if M >= 1 else 0
     fused = (
         pre is not None
         and n_model_rounds > 0
-        and fused_supported(kcfg, model.spec.has_polya)
+        and fused_supported(kcfg, model.spec.has_polya, min_full_len=min_fl)
         and _os.environ.get("RSEM_TPU_FUSED_MODEL", "1") != "0"
     )
     rounds = 0
@@ -534,6 +578,7 @@ def _run_em_device(model, ref, bundle, em_cfg, need_posteriors) -> EMResult:
             jnp.asarray(np.asarray(model.npro.c).reshape(-1),
                         dtype=jnp.float32),
             jnp.asarray(float(N0), dtype=jnp.float32),
+            float(spec.probF),
         )
         if clock.on:
             from ..utils.jaxinit import sync as _sync2
@@ -579,17 +624,29 @@ def _run_em_device(model, ref, bundle, em_cfg, need_posteriors) -> EMResult:
             if em_cfg.verbose:
                 print(f"ROUND = {rounds}, bChange = {bchg:.6g}")
 
-    lcp_np = fetch64(log_conprb)[: bundle.hits.n_hits]
-    lnp_np = fetch64(log_ncp)[: bundle.hits.n_reads]
+    # posterior consumers (Gibbs handoff, BAM writing) need the host
+    # conprbs; the point-estimate path keeps everything on device
+    lcp_np = lnp_np = None
+    if need_posteriors:
+        lcp_np = fetch64(log_conprb)[: bundle.hits.n_hits]
+        lnp_np = fetch64(log_ncp)[: bundle.hits.n_reads]
     clock.lap("conprb freeze + D2H")
-    theta, rounds, final = _run_fast_loop(
-        theta, bundle, lcp_np, lnp_np, M, N0, em_cfg, rounds
+    theta, rounds, final, final_counts = _run_fast_loop(
+        theta, bundle, lcp_np, lnp_np, M, N0, em_cfg, rounds,
+        lcp_dev=log_conprb, lnp_dev=log_ncp, sid_dev=hd.sid,
+        need_restore=need_posteriors,
     )
     clock.lap("theta loop (build+compile+run)")
-    frac_hit, frac_noise = final(theta)
-    counts = np.zeros(M + 1)
-    np.add.at(counts, bundle.hits.sid, frac_hit)
-    counts[0] = frac_noise.sum() + N0
+    if need_posteriors or final_counts is None:
+        frac_hit, frac_noise = final(theta)
+        counts = np.zeros(M + 1)
+        np.add.at(counts, bundle.hits.sid, frac_hit)
+        counts[0] = frac_noise.sum() + N0
+    else:
+        # final E-step reduced to the [M+1] expected counts, on device
+        # (counts[0] already includes N0 via the round's n0 term)
+        frac_hit = frac_noise = None
+        counts = final_counts(theta)
     clock.lap("final E-step + host scatter")
     clock.report("device path")
     return _finish(model, ref, bundle, theta, counts, rounds, frac_hit,
@@ -614,7 +671,16 @@ def run_em(
         from ..native import get_lib
 
         lib = get_lib()
-        backend = "hybrid" if (lib is not None and hasattr(lib, "conprb")) else "device"
+        has_native = lib is not None and hasattr(lib, "conprb")
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:  # pragma: no cover
+            on_tpu = False
+        # r5: the pure-device path (fused model loop + device-built theta
+        # layout + on-device final counts) beats the hybrid CPU-sidecar
+        # path on TPU; hybrid remains the pick on CPU-only hosts
+        backend = "device" if on_tpu else (
+            "hybrid" if has_native else "device")
     if backend in ("hybrid", "native"):
         if backend == "native":
             em_cfg = EMConfig(**{**em_cfg.__dict__, "theta_backend": "native"})

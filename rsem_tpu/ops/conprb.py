@@ -317,6 +317,210 @@ def precompute_profile_indices_eager(
     return PreIdx(flat1=f1, flat2=f2, nflat1=nf1, nflat2=nf2)
 
 
+def _win_pad(L: int) -> Tuple[int, int]:
+    """(front pad P, padded window width) for the windowed ref-code
+    layout."""
+    P = _ceil_to(max(L, 1), 64)
+    return P, _ceil_to(P + 64, 128)
+
+
+def _build_ref_windows(codes: jnp.ndarray, L: int) -> jnp.ndarray:
+    """Overlapping 64-aligned windows over the concatenated reference
+    codes: ref2[k, t] = codes_padded[64*k + t], t < WINP, with a
+    P = ceil64(L) front pad. Any L-wide span starting at absolute
+    position p >= -P is then row (p + P) >> 6, lanes ((p + P) & 63) ..+L
+    — one fast ROW gather plus a lane-shift kernel, instead of a [H, L]
+    elementwise gather (~10x runtime; the shift runs as a Pallas kernel
+    because every XLA formulation of it compiled for minutes on this
+    platform)."""
+    P, WINP = _win_pad(L)
+    T = codes.shape[0]
+    K = -(-(P + T) // 64) + 1
+    total = K * 64 + WINP
+    cp = jnp.concatenate([
+        jnp.zeros(P, codes.dtype), codes,
+        jnp.zeros(total - P - T, codes.dtype),
+    ])
+    parts = [
+        cp[s * 64 : s * 64 + K * 64].reshape(K, 64)
+        for s in range(WINP // 64)
+    ]
+    return jnp.concatenate(parts, axis=1)
+
+
+_SHIFT_ROWS = 512  # row tile of the lane-shift kernel
+
+
+def _lane_shift_kernel(shift_ref, rows_ref, out_ref, *, L: int):
+    """out[r, :L] = rows[r, shift[r] : shift[r]+L] (shift in [0, 64)) via
+    a 6-step binary roll cascade on the VPU."""
+    try:
+        from jax.experimental.pallas import tpu as pltpu_
+    except Exception:  # pragma: no cover
+        pltpu_ = None
+    # i32 throughout: tpu.dynamic_rotate has no sub-32-bit support
+    cur = rows_ref[:].astype(jnp.int32)
+    s = shift_ref[:]  # [R, 1] i32
+    WINP = cur.shape[1]
+    for b in (32, 16, 8, 4, 2, 1):
+        # left-shift by b == circular roll by WINP - b (positive shift);
+        # wrapped lanes never reach [:, :L] since shift <= 63 < WINP - L
+        try:
+            rolled = pltpu_.roll(cur, WINP - b, axis=1)
+        except Exception:
+            rolled = jnp.roll(cur, WINP - b, axis=1)
+        bit = jax.lax.bitwise_and(s, jnp.int32(b)) != 0
+        cur = jnp.where(jnp.broadcast_to(bit, cur.shape), rolled, cur)
+    out_ref[:] = cur[:, :L].astype(out_ref.dtype)
+
+
+def _lane_shift(rows: jnp.ndarray, shift: jnp.ndarray, L: int,
+                interpret: bool) -> jnp.ndarray:
+    """Per-row dynamic lane shift [H, WINP] -> [H, L]."""
+    try:
+        from jax.experimental import pallas as pl_
+        from jax.experimental.pallas import tpu as pltpu_
+    except Exception:  # pragma: no cover — no Mosaic: XLA fallback
+        j = jnp.arange(L, dtype=jnp.int32)[None, :]
+        return jnp.take_along_axis(rows, shift[:, None] + j, axis=1)
+    H, WINP = rows.shape
+    R = _SHIFT_ROWS
+    Hp = _ceil_to(max(H, R), R)
+    rows_p = jnp.pad(rows, ((0, Hp - H), (0, 0)))
+    shift_p = jnp.pad(shift, (0, Hp - H)).reshape(Hp, 1)
+    out = pl_.pallas_call(
+        partial(_lane_shift_kernel, L=L),
+        grid=(Hp // R,),
+        in_specs=[
+            pl_.BlockSpec((R, 1), lambda i: (i, 0)),
+            pl_.BlockSpec((R, WINP), lambda i: (i, 0)),
+        ],
+        out_specs=pl_.BlockSpec((R, L), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Hp, L), rows.dtype),
+        interpret=interpret,
+    )(shift_p.astype(jnp.int32), rows_p)
+    return out[:H]
+
+
+def _refc_windowed(ref2: jnp.ndarray, starts: jnp.ndarray,
+                   dirs: jnp.ndarray, L: int,
+                   interpret: bool) -> jnp.ndarray:
+    """[H, L] reference base codes for L-wide spans (absolute padded start
+    per hit; reverse-strand rows are flipped and complemented)."""
+    k = jax.lax.shift_right_logical(starts, jnp.int32(6))
+    shift = jax.lax.bitwise_and(starts, jnp.int32(63))
+    rows = ref2[k]  # [H, WINP] row gather (int8)
+    win = _lane_shift(rows, shift, L, interpret).astype(jnp.int32)
+    winr = jnp.flip(win, axis=1)
+    refc = jnp.where(dirs[:, None] == 1, winr, win)
+    return jnp.where(
+        dirs[:, None] == 1, jnp.where(refc < 4, 3 - refc, refc), refc
+    )
+
+
+def profile_indices_windowed(
+    cfg: KernelConfig,
+    ref: RefDevice,
+    ref2: jnp.ndarray,
+    read_codes: jnp.ndarray,
+    read_quals: Optional[jnp.ndarray],
+    read_lens: jnp.ndarray,
+    sid: jnp.ndarray,
+    pos: jnp.ndarray,
+    dirs: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """profile_indices with the windowed reference-code extraction
+    (numerically identical on valid lanes; invalid lanes are masked by
+    the returned validity exactly as in profile_indices)."""
+    L = cfg.max_read_len
+    P, _ = _win_pad(L)
+    j = jnp.arange(L, dtype=jnp.int32)[None, :]
+    off = ref.offsets[sid].astype(jnp.int32)
+    tl = ref.tot_len[sid].astype(jnp.int32)
+    posc = pos.astype(jnp.int32)
+    d = dirs.astype(jnp.int32)
+    starts = jnp.where(
+        d == 1, off + tl - 1 - posc - (L - 1), off + posc
+    ) + P
+    interpret = jax.default_backend() != "tpu"
+    refc = _refc_windowed(ref2, starts, d, L, interpret)
+    readc = read_codes.astype(jnp.int32)
+    if cfg.has_qual:
+        key = read_quals.astype(jnp.int32)
+    else:
+        key = jnp.broadcast_to(j, readc.shape)
+    flat = (key * 5 + refc) * 5 + readc
+    valid = j < read_lens[:, None]
+    return flat, valid
+
+
+@partial(jax.jit, static_argnums=(0,))
+def precompute_profile_indices_fused(
+    cfg: KernelConfig,
+    ref: RefDevice,
+    m1: ReadsDevice,
+    m2: Optional[ReadsDevice],
+    hits: HitsDevice,
+) -> PreIdx:
+    """PreIdx as ONE jitted program built on the windowed reference-code
+    extraction: r5 measured 7.5 s (eager elementwise path, int64-promoted
+    gathers) -> well under 1 s at 2.5M hits x 100bp. The old eager variant
+    remains behind RSEM_TPU_PREIDX_EAGER=1 as the escape hatch for the
+    remote-compile blowups r4 saw on monolithic programs."""
+    with jax.enable_x64(False):
+        pro_size = cfg.pro_keys()
+        cols = pre_cols(cfg.max_read_len)
+        padC = cols - cfg.max_read_len
+        ref2 = _build_ref_windows(ref.codes, cfg.max_read_len)
+
+        def mask_pad(flat, valid):
+            f = jnp.where(valid, flat, pro_size)
+            if padC:
+                f = jnp.pad(f, ((0, 0), (0, padC)),
+                            constant_values=pro_size)
+            return f.astype(jnp.int32)
+
+        rid = hits.rid.astype(jnp.int32)
+        sid = hits.sid.astype(jnp.int32)
+        dirs = hits.dir.astype(jnp.int32)
+        pos = hits.pos.astype(jnp.int32)
+        tl = ref.tot_len[sid].astype(jnp.int32)
+
+        def one(mate: ReadsDevice, p, d):
+            f, v = profile_indices_windowed(
+                cfg, ref, ref2, mate.codes[rid],
+                mate.quals[rid] if cfg.has_qual else None,
+                mate.lens[rid], sid, p, d,
+            )
+            return mask_pad(f, v)
+
+        f1 = one(m1, pos, dirs)
+        f2 = (
+            one(m2, tl - pos - hits.insert_len.astype(jnp.int32), 1 - dirs)
+            if cfg.paired else None
+        )
+
+        npro_size = cfg.npro_keys()
+        from .pallas_table import ROWS as _ROWS
+
+        def noise_flat(mate: ReadsDevice) -> jnp.ndarray:
+            L = mate.codes.shape[1]
+            j = jnp.arange(L, dtype=jnp.int32)[None, :]
+            readc = mate.codes.astype(jnp.int32)
+            flat = (mate.quals.astype(jnp.int32) * 5 + readc
+                    if cfg.has_qual else readc)
+            valid = (j < mate.lens[:, None]) & mate.valid[:, None]
+            f = jnp.where(valid, flat, npro_size).astype(jnp.int32)
+            N = f.shape[0]
+            rpad = -(-N // _ROWS) * _ROWS - N
+            return jnp.pad(f, ((0, rpad), (0, cols - L)),
+                           constant_values=npro_size)
+
+        nf1 = noise_flat(m1)
+        nf2 = noise_flat(m2) if cfg.paired else None
+        return PreIdx(flat1=f1, flat2=f2, nflat1=nf1, nflat2=nf2)
+
+
 def preidx_bytes(cfg: KernelConfig, n_hits_padded: int,
                  n_reads: int = 0) -> int:
     """HBM footprint of PreIdx for gating (engine/em.py)."""

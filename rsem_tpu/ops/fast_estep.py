@@ -503,6 +503,9 @@ def run_fast_em_loop(
     return jax.lax.while_loop(cond, body, init)
 
 
+jit_fast_theta_round = jax.jit(fast_theta_round)
+
+
 def fast_final_fracs(theta: jnp.ndarray, data: FastEStepData):
     """Final posterior responsibilities in ORIGINAL hit/read order
     (EM.cpp:460-478 calcExpectedWeights)."""

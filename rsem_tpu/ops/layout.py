@@ -13,6 +13,7 @@ masked out by `valid` flags, so jit sees one shape per dataset.
 
 from __future__ import annotations
 
+import weakref
 from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
@@ -27,6 +28,24 @@ def pad_to(x: np.ndarray, n: int, fill=0) -> np.ndarray:
     return np.concatenate([x, pad], axis=0)
 
 
+# host object -> {pad key: device layout}. Repeat passes over the same
+# (immutable by convention) host arrays reuse the device buffers instead
+# of re-paying H2D — at ~40-90 MB/s through the dev host's tunnel the
+# [N, L] read upload alone costs seconds per pass. Entries die with their
+# source object (WeakKeyDictionary).
+_DEV_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _dev_cached(obj, key, build):
+    try:
+        entry = _DEV_CACHE.setdefault(obj, {})
+    except TypeError:  # not weak-referenceable
+        return build()
+    if key not in entry:
+        entry[key] = build()
+    return entry[key]
+
+
 class RefDevice(NamedTuple):
     codes: jnp.ndarray  # [T] uint8 concatenated (incl. poly(A))
     offsets: jnp.ndarray  # [M+2] int32 start of each sid
@@ -37,13 +56,13 @@ class RefDevice(NamedTuple):
     @classmethod
     def from_reference(cls, ref) -> "RefDevice":
         """ref: refprep.Reference."""
-        return cls(
+        return _dev_cached(ref, "ref", lambda: cls(
             codes=jnp.asarray(ref.codes, dtype=jnp.uint8),
             offsets=jnp.asarray(ref.offsets, dtype=jnp.int32),
             full_len=jnp.asarray(ref.full_len, dtype=jnp.int32),
             tot_len=jnp.asarray(ref.tot_len, dtype=jnp.int32),
             mask_start=jnp.asarray(ref.mask_start, dtype=jnp.int32),
-        )
+        ))
 
 
 class ReadsDevice(NamedTuple):
@@ -61,6 +80,11 @@ class ReadsDevice(NamedTuple):
         ship as ONE u8 array qc = qual*5 + code and unpack on device —
         halving the [N, L] upload, which dominates H2D on hosts with a
         slow link to the chip (r4: ~20 MB/s through the axon tunnel)."""
+        return _dev_cached(ra, ("reads", n_pad),
+                           lambda: cls._from_arrays(ra, n_pad))
+
+    @classmethod
+    def _from_arrays(cls, ra, n_pad: Optional[int] = None) -> "ReadsDevice":
         n = n_pad or ra.n
         valid = np.zeros(n, dtype=bool)
         valid[: ra.n] = True
@@ -94,6 +118,11 @@ class HitsDevice(NamedTuple):
 
     @classmethod
     def from_arrays(cls, ha, h_pad: Optional[int] = None) -> "HitsDevice":
+        return _dev_cached(ha, ("hits", h_pad),
+                           lambda: cls._from_arrays(ha, h_pad))
+
+    @classmethod
+    def _from_arrays(cls, ha, h_pad: Optional[int] = None) -> "HitsDevice":
         h = h_pad or ha.n_hits
         valid = np.zeros(h, dtype=bool)
         valid[: ha.n_hits] = True

@@ -65,13 +65,26 @@ from .pallas_table import onehot_scatter
 MAX_DRIFT = 80.0
 
 
-def fused_supported(cfg: KernelConfig, has_polya: bool) -> bool:
-    """The fused loop requires every non-profile conprb term to be
-    round-invariant: RSPD fixed (not est_rspd) and mw fixed (single-end
-    never recomputes mw without est_rspd — SingleModel.h:326-329; paired
-    recomputes it every round, but without poly(A) it is identically 1 —
-    PairedEndQModel.h:302-307)."""
-    return (not cfg.est_rspd) and not (cfg.paired and has_polya)
+def fused_supported(cfg: KernelConfig, has_polya: bool,
+                    min_full_len: Optional[int] = None) -> bool:
+    """The fused loop requires mw to be round-invariant and every
+    round-varying conprb term to be expressible from frozen per-hit
+    indices. mw: paired recomputes it every round and single-end
+    recomputes it when est_rspd — but without poly(A) it is identically
+    1 (PairedEndQModel.h:302-307, SingleModel.h:462-524 integrates only
+    MASKED positions), so poly(A) is the real gate. est-RSPD (r5): the
+    per-hit RSPD term and its 2-bin suffstat ride frozen indices —
+    except the single-end + user-mld remarginalized update
+    (SingleModel.h:178-199) and reads on transcripts shorter than B bins
+    (a position can then span >2 bins)."""
+    if has_polya and (cfg.paired or cfg.est_rspd):
+        return False
+    if cfg.est_rspd:
+        if cfg.use_mld and not cfg.paired:
+            return False
+        if min_full_len is not None and min_full_len < cfg.B:
+            return False
+    return True
 
 
 class ModelLoopData(NamedTuple):
@@ -101,6 +114,20 @@ class ModelLoopData(NamedTuple):
     gld_valid: Optional[jnp.ndarray] = None  # [Hp] bool
     ins_idx: Optional[jnp.ndarray] = None  # [Hp] i32 (gld suffstat slot)
     hit_valid: Optional[jnp.ndarray] = None  # [Hp] bool
+    # est-RSPD leaves (None otherwise): frozen evalCDF indices /
+    # interpolants for fpos, fpos+1, effL (RSPD.h:63-75) and the 2-bin
+    # suffstat spread (RSPD.h:43-59, use-masked weights)
+    rs_if: Optional[jnp.ndarray] = None  # [Hp] i32
+    rs_vf: Optional[jnp.ndarray] = None  # [Hp] f32
+    rs_if1: Optional[jnp.ndarray] = None
+    rs_vf1: Optional[jnp.ndarray] = None
+    rs_ie: Optional[jnp.ndarray] = None
+    rs_ve: Optional[jnp.ndarray] = None
+    rs_ok: Optional[jnp.ndarray] = None  # [Hp] bool
+    rs_b0: Optional[jnp.ndarray] = None  # [Hp] i32 (0-based bin)
+    rs_w0: Optional[jnp.ndarray] = None  # [Hp] f32
+    rs_b1: Optional[jnp.ndarray] = None
+    rs_w1: Optional[jnp.ndarray] = None
 
 
 def build_model_loop_data(
@@ -114,6 +141,7 @@ def build_model_loop_data(
     read_offsets: jnp.ndarray,
     npro_c: jnp.ndarray,
     n0,
+    probF: float = 0.5,
 ) -> ModelLoopData:
     """Freeze every round-invariant term. `model` is the round-0 device
     model (its static distributions feed lp_static; its full conprb feeds
@@ -197,6 +225,84 @@ def build_model_loop_data(
             ins - cfg.gld_lb - 1, 0, span - 1).astype(jnp.int32)
         kw["hit_valid"] = hits.valid
 
+    if cfg.est_rspd:
+        # frozen per-hit RSPD indices (RSPD.h:63-75) + 2-bin suffstat
+        # spread (RSPD.h:43-59, dominant-strand rule) — the round-varying
+        # part is then two [B+2]-table lookups per hit
+        B = cfg.B
+        fl_i = ref.full_len[hits.sid].astype(jnp.int32)
+        tl_i = ref.tot_len[hits.sid].astype(jnp.int32)
+        pos_i = hits.pos.astype(jnp.int32)
+        dirs_i = hits.dir.astype(jnp.int32)
+        l1h = m1.lens[hits.rid].astype(jnp.int32)
+        if cfg.paired:
+            ins_i = hits.insert_len.astype(jnp.int32)
+            fpos = jnp.where(dirs_i == 1, tl_i - pos_i - ins_i, pos_i)
+            effL = jnp.minimum(fl_i, tl_i - ins_i + 1)
+        else:
+            fpos = jnp.where(dirs_i == 1, tl_i - pos_i - l1h, pos_i)
+            effL = jnp.minimum(fl_i, tl_i - l1h + 1)
+        fls = jnp.maximum(fl_i, 1)
+        flf = fls.astype(jnp.float32)
+        ok = (fpos >= 0) & (fpos < fl_i) & (effL >= 1)
+        fpos_c = jnp.clip(fpos, 0, fls - 1)
+        effL_c = jnp.clip(effL, 1, fls)
+
+        def iv(x):
+            return (
+                ((x * B) // fls).astype(jnp.int32),
+                x.astype(jnp.float32) * B / flf,
+            )
+
+        kw["rs_if"], kw["rs_vf"] = iv(fpos_c)
+        kw["rs_if1"], kw["rs_vf1"] = iv(fpos_c + 1)
+        kw["rs_ie"], kw["rs_ve"] = iv(effL_c)
+        kw["rs_ok"] = ok
+        if cfg.paired:
+            fpos_s = fpos
+            use = (fpos_s < fl_i) & hits.valid
+        elif probF >= 0.1:  # ORIVALVE (utils.h)
+            fpos_s = pos_i
+            use = (dirs_i == 0) & (pos_i < fl_i) & hits.valid
+        else:
+            fpos_s = tl_i - pos_i - l1h
+            use = (dirs_i == 1) & (fpos_s < fl_i) & hits.valid
+        fpos_s = jnp.clip(fpos_s, 0, fls - 1)
+        lo_e = fpos_s.astype(jnp.float32) / flf
+        hi_e = (fpos_s.astype(jnp.float32) + 1.0) / flf
+        b0 = jnp.clip((fpos_s * B) // fls, 0, B - 1).astype(jnp.int32)
+        b1 = jnp.minimum(b0 + 1, B - 1)
+
+        def edge(b):
+            return b.astype(jnp.float32) / B
+
+        w0 = jnp.maximum(
+            jnp.minimum(hi_e, edge(b0 + 1)) - jnp.maximum(lo_e, edge(b0)),
+            0.0,
+        ) * flf
+        w1 = jnp.maximum(
+            jnp.minimum(hi_e, edge(b1 + 1)) - jnp.maximum(lo_e, edge(b1)),
+            0.0,
+        ) * flf
+        w1 = jnp.where(b1 > b0, w1, 0.0)
+        kw["rs_b0"] = b0
+        kw["rs_w0"] = jnp.where(use, w0, 0.0)
+        kw["rs_b1"] = b1
+        kw["rs_w1"] = jnp.where(use, w1, 0.0)
+        # lp_static carries the ROUND-0 rspd factor (via compute_log_conprb
+        # static terms); strip it so the loop can re-add the live one
+        r0 = _rspd_log_term(
+            model["rspd_pdf"].astype(jnp.float32),
+            model["rspd_cdf"].astype(jnp.float32),
+            kw["rs_if"], kw["rs_vf"], kw["rs_if1"], kw["rs_vf1"],
+            kw["rs_ie"], kw["rs_ve"], ok,
+        )
+        lp_static = jnp.where(
+            jnp.isfinite(lp_static),
+            lp_static - jnp.where(jnp.isfinite(r0), r0, 0.0),
+            NEG_INF,
+        )
+
     return ModelLoopData(
         lp_static=lp_static,
         log_mw_h=log_mw_h,
@@ -229,11 +335,41 @@ def tables_from_model(cfg: KernelConfig,
     if cfg.paired:
         t["log_gld_pdf"] = model["log_gld_pdf"].astype(jnp.float32)
         t["log_gld_cdf"] = model["log_gld_cdf"].astype(jnp.float32)
+    if cfg.est_rspd:
+        t["rspd_pdf"] = model["rspd_pdf"].astype(jnp.float32)
+        t["rspd_cdf"] = model["rspd_cdf"].astype(jnp.float32)
     return t
 
 
 def _safe_log(x):
     return jnp.where(x > 0, jnp.log(jnp.where(x > 0, x, 1.0)), NEG_INF)
+
+
+def _rspd_log_term(pdf, cdf, i_f, v_f, i_f1, v_f1, i_e, v_e, ok):
+    """log RSPD::getAdjustedProb from frozen evalCDF indices (twin of
+    conprb.lin_rspd_adjusted in the est_rspd branch); pdf/cdf are the
+    [B+2] linear tables."""
+
+    def ev(i, v):
+        return gather_rows(cdf, i) + (
+            v - i.astype(jnp.float32)
+        ) * gather_rows(pdf, i + 1)
+
+    num = ev(i_f1, v_f1) - ev(i_f, v_f)
+    den = ev(i_e, v_e)
+    r = jnp.where(ok & (den > 0), num / jnp.where(den > 0, den, 1.0), 0.0)
+    return _safe_log(r)
+
+
+def _finish_rspd(counts, pdf_prev, cdf_prev):
+    """Linear [B+2] pdf/cdf from B bin masses (RSPD::finish; empty input
+    keeps the previous tables)."""
+    s = jnp.sum(counts)
+    pdf1 = jnp.where(s > 0, counts / jnp.where(s > 0, s, 1.0), 0.0)
+    z = jnp.zeros((1,), pdf1.dtype)
+    pdf = jnp.concatenate([z, pdf1, z])
+    cdf = jnp.concatenate([z, jnp.cumsum(pdf1), z])
+    return jnp.where(s > 0, pdf, pdf_prev), jnp.where(s > 0, cdf, cdf_prev)
 
 
 def _bf16_split(x):
@@ -338,6 +474,12 @@ def run_model_loop(
                 num - den, NEG_INF,
             )
             lp = lp + g
+        if cfg.est_rspd:
+            lp = lp + _rspd_log_term(
+                t["rspd_pdf"], t["rspd_cdf"],
+                data.rs_if, data.rs_vf, data.rs_if1, data.rs_vf1,
+                data.rs_ie, data.rs_ve, data.rs_ok,
+            )
         # reference op order: EPSILON cutoff on the full product, then /mw
         lp = jnp.where(lp < LOG_EPS, NEG_INF, lp)
         lp = jnp.where(data.log_mw_h > NEG_INF, lp - data.log_mw_h, NEG_INF)
@@ -371,6 +513,10 @@ def run_model_loop(
                 jnp.where(data.hit_valid, frac, 0.0),
                 gspan,
             )
+        if cfg.est_rspd:
+            suff["rspd"] = onehot_scatter(
+                data.rs_b0, frac * data.rs_w0, cfg.B
+            ) + onehot_scatter(data.rs_b1, frac * data.rs_w1, cfg.B)
 
         t_new = {
             "log_pro": _finish_profile(suff["pro"]),
@@ -380,6 +526,9 @@ def run_model_loop(
         if cfg.paired:
             t_new["log_gld_pdf"], t_new["log_gld_cdf"] = _finish_gld(
                 suff["gld"])
+        if cfg.est_rspd:
+            t_new["rspd_pdf"], t_new["rspd_cdf"] = _finish_rspd(
+                suff["rspd"], t["rspd_pdf"], t["rspd_cdf"])
         return theta_new, t_new, suff
 
     suff0 = {
@@ -388,6 +537,8 @@ def run_model_loop(
     }
     if cfg.paired:
         suff0["gld"] = jnp.zeros(gspan, jnp.float32)
+    if cfg.est_rspd:
+        suff0["rspd"] = jnp.zeros(cfg.B, jnp.float32)
     theta, _t, suff = jax.lax.fori_loop(
         0, n_rounds, body, (theta0.astype(jnp.float32), tables0, suff0)
     )
@@ -404,6 +555,8 @@ def run_model_loop(
     out["npro"] = npro.reshape(-1, 5) if cfg.has_qual else npro
     if cfg.paired:
         out["gld"] = suff["gld"]
+    if cfg.est_rspd:
+        out["rspd"] = suff["rspd"]
     return theta, out
 
 
@@ -414,8 +567,9 @@ def jit_model_loop(cfg: KernelConfig, data: ModelLoopData,
 
 
 # jitted builder shared across calls (one trace per dataset geometry)
-@partial(jax.jit, static_argnums=(0,))
+@partial(jax.jit, static_argnums=(0, 10))
 def jit_build_model_loop_data(cfg: KernelConfig, ref, m1, m2, hits, pre,
-                              model, read_offsets, npro_c, n0):
+                              model, read_offsets, npro_c, n0,
+                              probF: float = 0.5):
     return build_model_loop_data(cfg, ref, m1, m2, hits, pre, model,
-                                 read_offsets, npro_c, n0)
+                                 read_offsets, npro_c, n0, probF=probF)

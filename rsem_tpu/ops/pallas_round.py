@@ -214,6 +214,126 @@ def build_pallas_data(
     )
 
 
+def _geometry(hits, M: int):
+    """Host-side bucket geometry from sid/offsets ONLY (no conprbs): the
+    per-bucket [n_rows, K] hit-index map, padded read ids, and restore
+    arrays. Shared by the host fill (build_pallas_data) and the
+    device-side fill (build_pallas_data_device)."""
+    H = hits.n_hits
+    N = hits.n_reads
+    offs = hits.read_offsets.astype(np.int64)
+    nh = np.diff(offs)
+    sizes = []
+    k = 1
+    mx = int(nh.max()) if N else 1
+    while k < mx:
+        sizes.append(k)
+        k *= 2
+    sizes.append(k)
+    bucket_of = np.searchsorted(np.asarray(sizes), nh)
+
+    out = []
+    restore_bidx = np.empty(H, dtype=np.int32)
+    restore_slot = np.empty(H, dtype=np.int32)
+    from .fast_estep import menu_round
+
+    for bi, K in enumerate(sizes):
+        rsel = np.nonzero(bucket_of == bi)[0]
+        if len(rsel) == 0:
+            continue
+        n_k = len(rsel)
+        rows_per_tile = ROWS_BIGK if K > 128 else ROWS_SMALLK
+        slots_per_tile = rows_per_tile * 128
+        reads_per_tile = max(slots_per_tile // K, 1)
+        n_tiles = menu_round(-(-n_k // reads_per_tile))
+        n_rows = n_tiles * reads_per_tile
+        orig_m = np.full((n_rows, K), -1, dtype=np.int64)
+        nh_sel = nh[rsel]
+        tot = int(nh_sel.sum())
+        run_starts = np.cumsum(nh_sel) - nh_sel
+        cols = np.arange(tot) - np.repeat(run_starts, nh_sel)
+        rows_idx = np.repeat(np.arange(n_k), nh_sel)
+        src = np.repeat(offs[rsel], nh_sel) + cols
+        orig_m[rows_idx, cols] = src
+        bidx = len(out)
+        flat_orig = orig_m.reshape(-1)
+        valid = flat_orig >= 0
+        restore_bidx[flat_orig[valid]] = bidx
+        restore_slot[flat_orig[valid]] = np.nonzero(valid)[0]
+        rsel_pad = np.full(n_rows, -1, dtype=np.int64)
+        rsel_pad[:n_k] = rsel
+        out.append((K, orig_m, rsel_pad, rsel))
+    return out, restore_bidx, restore_slot
+
+
+@jax.jit
+def _fill_tiles_device(lcp, lnp, sid_h, origs, rsels):
+    """Device-side tile fill from the frozen DEVICE conprbs: gathers +
+    per-read max scaling, no host round-trip. Scaling is per-read and
+    cancels exactly in the round math, so the f32 exp here is equivalent
+    to the host f64 path."""
+    with jax.enable_x64(False):
+        sid_out, cps_out, ncs_out = [], [], []
+        for o64, r64 in zip(origs, rsels):
+            o = o64.astype(jnp.int32)
+            r = r64.astype(jnp.int32)
+            rows, K = o.shape
+            valid = o >= 0
+            oc = jnp.where(valid, o, 0)
+            lcp_t = jnp.where(valid, lcp[oc], -jnp.inf)
+            sid_t = jnp.where(valid, sid_h[oc], 0)
+            rv = r >= 0
+            lnp_r = jnp.where(rv, lnp[jnp.where(rv, r, 0)], -jnp.inf)
+            smax = jnp.maximum(jnp.max(lcp_t, axis=1), lnp_r)
+            safe = jnp.where(jnp.isfinite(smax), smax, 0.0)
+            cps_t = jnp.exp(lcp_t - safe[:, None])
+            ncs_r = jnp.exp(lnp_r - safe)
+            X = rows * K // 128
+            sid_out.append(sid_t.astype(jnp.int32).reshape(X, 128))
+            cps_out.append(cps_t.astype(jnp.float32).reshape(X, 128))
+            ncs_out.append(jnp.broadcast_to(
+                ncs_r[:, None].astype(jnp.float32), (rows, K)
+            ).reshape(X, 128))
+        return tuple(sid_out), tuple(cps_out), tuple(ncs_out)
+
+
+def build_pallas_data_device(
+    hits, lcp_dev: jnp.ndarray, lnp_dev: jnp.ndarray, sid_dev: jnp.ndarray,
+    M: int, n0: float, need_restore: bool = True,
+) -> PallasRoundData:
+    """build_pallas_data with the conprbs staying ON DEVICE: only the
+    int32 hit-index geometry crosses the wire (the host fill paid a
+    ~[H] f64 D2H plus a 3x [X,128] f32 H2D through the dev host's
+    ~40-90 MB/s tunnel). lcp_dev/lnp_dev: frozen log conprbs (device,
+    unpadded lengths H/N in their leading entries); sid_dev: padded
+    device sid array (HitsDevice.sid)."""
+    _configure_jax()
+    geo, restore_bidx, restore_slot = _geometry(hits, M)
+    H = hits.n_hits
+    lcp = lcp_dev[: max(H, 1)].astype(jnp.float32)
+    lnp = lnp_dev[: max(hits.n_reads, 1)].astype(jnp.float32)
+    origs = tuple(jnp.asarray(g[1]) for g in geo)
+    rsels = tuple(jnp.asarray(g[2]) for g in geo)
+    sid_t, cps_t, ncs_t = _fill_tiles_device(
+        lcp, lnp, sid_dev[: max(H, 1)].astype(jnp.int32), origs, rsels
+    )
+    return PallasRoundData(
+        sid_t=sid_t,
+        cps_t=cps_t,
+        ncs_t=ncs_t,
+        ks=tuple(g[0] for g in geo),
+        restore_bidx=jnp.asarray(restore_bidx) if need_restore else None,
+        restore_slot=jnp.asarray(restore_slot) if need_restore else None,
+        restore_read=tuple(
+            jnp.asarray(g[3].astype(np.int32)) for g in geo
+        ) if need_restore else (),
+        table_rows=-(-(M + 1) // 128),
+        n_reads=hits.n_reads,
+        M=M,
+        n0=float(n0),
+    )
+
+
 def _round_kernel(
     sid_ref, cps_ref, ncs_ref, table_ref, th0_ref,
     contrib_ref, noise_ref,
@@ -495,3 +615,13 @@ def jit_pallas_loop(theta0, data: PallasRoundData, start_round,
 
 
 jit_pallas_final_fracs = jax.jit(pallas_final_fracs)
+
+
+@jax.jit
+def jit_pallas_counts(theta, data: PallasRoundData):
+    """Expected counts at a FIXED theta (the reference's final E-step,
+    EM.cpp:460-478, reduced to the [M+1] count vector) — lets the engine
+    skip the per-hit posterior fetch when no downstream consumer needs
+    posteriors."""
+    interp = jax.default_backend() != "tpu"  # trace-time static
+    return pallas_theta_round(theta, data, interpret=interp)[1]

@@ -153,6 +153,7 @@ def synthetic_dataset(
     mean_extra_hits: float = 1.0,
     n0: int = 5,
     seed: int = 0,
+    est_rspd: bool = False,
 ) -> Tuple[Reference, AlignmentBundle, ModelSpec, GenerativeModel]:
     rng = np.random.default_rng(seed)
     model_type = (2 if paired else 0) + (1 if has_qual else 0)
@@ -244,7 +245,8 @@ def synthetic_dataset(
     bundle = AlignmentBundle(model_type, reads, hits, stats, cnt,
                              np.zeros(0, dtype=np.int64))
 
-    spec = ModelSpec(model_type=model_type, seed_len=25, has_polya=False)
+    spec = ModelSpec(model_type=model_type, seed_len=25, has_polya=False,
+                     est_rspd=est_rspd)
     model = GenerativeModel(spec, ref)
     model.estimate_from_stats(stats)
     return ref, bundle, spec, model

@@ -76,9 +76,11 @@ def test_fused_ten_rounds_close(paired, has_qual):
                                    rtol=5e-3, atol=1e-6)
 
 
-def test_fused_gate_declines_est_rspd():
-    """est-RSPD varies RSPD+mw across rounds — the fused path must decline
-    (fused_supported) and the engine must fall back, still correct."""
+def test_fused_gate():
+    """r5: est-RSPD is fused (frozen evalCDF indices + 2-bin suffstat)
+    EXCEPT the combinations whose mw/update cannot be frozen: poly(A)
+    (mw depends on rspd), single-end user-mld (remarginalized update,
+    SingleModel.h:178-199), and transcripts shorter than B bins."""
     from rsem_tpu.ops.layout import KernelConfig
     from rsem_tpu.ops.model_loop import fused_supported
 
@@ -87,10 +89,36 @@ def test_fused_gate_declines_est_rspd():
         seed_len=25, gld_lb=0, gld_ub=1000, mld_lb=0, mld_ub=1,
         max_read_len=36, pro_len=100,
     )
-    assert not fused_supported(cfg, has_polya=False)
+    assert fused_supported(cfg, has_polya=False)
+    assert fused_supported(cfg, has_polya=False, min_full_len=400)
+    assert not fused_supported(cfg, has_polya=True)
+    assert not fused_supported(cfg, has_polya=False, min_full_len=10)
+    assert not fused_supported(cfg._replace(use_mld=True), has_polya=False)
+    assert fused_supported(cfg._replace(use_mld=True, paired=True),
+                           has_polya=False)
     assert not fused_supported(cfg._replace(est_rspd=False, paired=True),
                                has_polya=True)
     assert fused_supported(cfg._replace(est_rspd=False), has_polya=True)
+
+
+@pytest.mark.parametrize("paired", [False, True])
+def test_fused_est_rspd_matches_host(paired):
+    """est-RSPD in the fused loop (r5): one-round exact parity plus
+    10-round trajectory parity against the per-round host-refit path."""
+    ref, bundle, spec, model0 = synthetic_dataset(
+        n_reads=1500, M=60, read_len=36, tx_len=400, paired=paired,
+        has_qual=True, mean_extra_hits=1.4, seed=23, est_rspd=True,
+    )
+    a1 = _run(model0, ref, bundle, fused=True, update_rounds=1)
+    b1 = _run(model0, ref, bundle, fused=False, update_rounds=1)
+    np.testing.assert_allclose(a1.theta, b1.theta, rtol=2e-4, atol=1e-9)
+    np.testing.assert_allclose(a1.model.rspd.pdf, b1.model.rspd.pdf,
+                               rtol=2e-4, atol=1e-7)
+    a = _run(model0, ref, bundle, fused=True)
+    b = _run(model0, ref, bundle, fused=False)
+    np.testing.assert_allclose(a.tpm, b.tpm, rtol=5e-3, atol=0.5)
+    np.testing.assert_allclose(a.model.rspd.pdf, b.model.rspd.pdf,
+                               rtol=5e-3, atol=1e-5)
 
 
 def test_preidx_long_reads():

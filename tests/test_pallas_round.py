@@ -140,3 +140,56 @@ def test_loop_jitted_like_engine():
     np.testing.assert_allclose(
         np.asarray(t_new), np.asarray(t_ref), rtol=5e-4, atol=1e-8
     )
+
+
+def test_device_build_matches_host_build():
+    """build_pallas_data_device (geometry on host, conprb fill on device)
+    must reproduce the host build's tiles up to the per-read scale —
+    pinned via one theta round + the count vector."""
+    from rsem_tpu.ops.pallas_round import (
+        build_pallas_data_device,
+        pallas_theta_round,
+    )
+
+    hits, lcp, lnp = _synthetic(N=250, M=70, seed=13)
+    M = 70
+    pdata_h = build_pallas_data(hits, lcp, lnp, M, 3.0)
+    H = hits.n_hits
+    pdata_d = build_pallas_data_device(
+        hits, jnp.asarray(lcp, jnp.float32), jnp.asarray(lnp, jnp.float32),
+        jnp.asarray(hits.sid, jnp.int32), M, 3.0,
+    )
+    # identical geometry
+    assert pdata_d.ks == pdata_h.ks
+    for a, b in zip(pdata_d.sid_t, pdata_h.sid_t):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(pdata_d.restore_bidx),
+                                  np.asarray(pdata_h.restore_bidx))
+    theta0 = jnp.full((M + 1,), 1.0 / (M + 1), dtype=jnp.float32)
+    th_h, c_h = pallas_theta_round(theta0, pdata_h, interpret=True)
+    th_d, c_d = pallas_theta_round(theta0, pdata_d, interpret=True)
+    np.testing.assert_allclose(np.asarray(th_d), np.asarray(th_h),
+                               rtol=2e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(c_d), np.asarray(c_h),
+                               rtol=2e-5, atol=1e-5)
+
+
+def test_device_build_no_restore_counts():
+    from rsem_tpu.ops.pallas_round import (
+        build_pallas_data_device,
+        jit_pallas_counts,
+        run_pallas_em_loop,
+    )
+
+    hits, lcp, lnp = _synthetic(N=200, M=50, seed=17)
+    M = 50
+    pdata = build_pallas_data_device(
+        hits, jnp.asarray(lcp, jnp.float32), jnp.asarray(lnp, jnp.float32),
+        jnp.asarray(hits.sid, jnp.int32), M, 2.0, need_restore=False,
+    )
+    theta0 = jnp.full((M + 1,), 1.0 / (M + 1), dtype=jnp.float32)
+    th, c, r = run_pallas_em_loop(theta0, pdata, max_round=25,
+                                  interpret=True)
+    counts = np.asarray(jit_pallas_counts(th, pdata))
+    # mass conservation: N reads + n0
+    assert counts.sum() == pytest.approx(hits.n_reads + 2.0, rel=1e-5)

@@ -152,3 +152,50 @@ def test_pallas_table_kernels_compiled_parity():
     np.add.at(want_s, flat.reshape(-1),
               np.repeat(w, 128).astype(np.float64))
     np.testing.assert_allclose(got_s, want_s, rtol=2e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("paired", [False, True])
+@pytest.mark.parametrize("read_len", [36, 100])
+def test_fused_windowed_preidx_matches_eager(paired, read_len):
+    """The one-program windowed PreIdx builder (r5 fast path) must produce
+    bit-identical index tiles to the op-by-op eager builder."""
+    from rsem_tpu.ops.conprb import (
+        precompute_profile_indices_eager,
+        precompute_profile_indices_fused,
+    )
+
+    ref, bundle, spec, model = synthetic_arrays_fast(
+        n_reads=300, M=40, read_len=read_len, tx_len=5 * read_len,
+        paired=paired, has_qual=True, mean_extra_hits=1.3, seed=9,
+    )
+    refd = RefDevice.from_reference(ref)
+    if paired:
+        m1 = ReadsDevice.from_arrays(bundle.reads.mate1)
+        m2 = ReadsDevice.from_arrays(bundle.reads.mate2)
+        maxL = max(m1.codes.shape[1], m2.codes.shape[1])
+        if m1.codes.shape[1] != maxL:
+            p = maxL - m1.codes.shape[1]
+            m1 = m1._replace(codes=jnp.pad(m1.codes, ((0, 0), (0, p))),
+                             quals=jnp.pad(m1.quals, ((0, 0), (0, p))))
+        if m2.codes.shape[1] != maxL:
+            p = maxL - m2.codes.shape[1]
+            m2 = m2._replace(codes=jnp.pad(m2.codes, ((0, 0), (0, p))),
+                             quals=jnp.pad(m2.quals, ((0, 0), (0, p))))
+    else:
+        m1 = ReadsDevice.from_arrays(bundle.reads)
+        m2 = None
+        maxL = m1.codes.shape[1]
+    hd = HitsDevice.from_arrays(bundle.hits)
+    kcfg = KernelConfig.from_model(model, maxL)
+
+    pre_e = precompute_profile_indices_eager(kcfg, refd, m1, m2, hd)
+    pre_f = precompute_profile_indices_fused(kcfg, refd, m1, m2, hd)
+    np.testing.assert_array_equal(np.asarray(pre_f.flat1),
+                                  np.asarray(pre_e.flat1))
+    np.testing.assert_array_equal(np.asarray(pre_f.nflat1),
+                                  np.asarray(pre_e.nflat1))
+    if paired:
+        np.testing.assert_array_equal(np.asarray(pre_f.flat2),
+                                      np.asarray(pre_e.flat2))
+        np.testing.assert_array_equal(np.asarray(pre_f.nflat2),
+                                      np.asarray(pre_e.nflat2))

@@ -381,30 +381,63 @@ def _run_em_device_sharded(model, ref, bundle, em_cfg, need_posteriors,
         return {k: jnp.asarray(v, dtype=jnp.float32) for k, v in model_np.items()}
 
     dev_model = to_dev(model.device_arrays())
-    round_fn = make_sharded_round(
-        mesh, kcfg, M, float(N0), float(spec.probF), sharded.n_reads_dev,
-        with_suff=True,
-    )(refd, sharded.m1, sharded.m2, sharded.hits, dev_model)
     conprb_fn = make_sharded_conprb(mesh, kcfg)(
         refd, sharded.m1, sharded.m2, sharded.hits, dev_model
     )
 
     theta = _theta_init(cnt, M)
     rounds = 0
-    while rounds < em_cfg.update_model_rounds and rounds < em_cfg.max_round:
-        rounds += 1
-        log_theta = jnp.asarray(_safe_log_np(theta), dtype=jnp.float32)
-        new_theta, counts, suff = round_fn(
-            log_theta, refd, sharded.m1, sharded.m2, sharded.hits, dev_model
+    n_model_rounds = min(em_cfg.update_model_rounds, em_cfg.max_round)
+    from ..ops.model_loop import fused_supported
+
+    import os as _os
+
+    min_fl = int(np.min(ref.full_len[1:])) if M >= 1 else 0
+    fused = (
+        n_model_rounds > 0
+        and fused_supported(kcfg, model.spec.has_polya, min_full_len=min_fl)
+        and _os.environ.get("RSEM_TPU_FUSED_MODEL", "1") != "0"
+    )
+    if fused:
+        # ALL model rounds in one psum-merged dispatch (r5: the r4 fused
+        # loop ported under shard_map — no per-round host refit/re-upload)
+        from ..parallel.mesh import make_sharded_model_loop
+
+        loop_fn = make_sharded_model_loop(
+            mesh, kcfg, M, float(N0), float(spec.probF),
+            sharded.n_reads_dev, n_model_rounds,
+        )(refd, sharded.m1, sharded.m2, sharded.hits, dev_model)
+        theta_dev, suff = loop_fn(
+            jnp.asarray(theta, dtype=jnp.float32), refd, sharded.m1,
+            sharded.m2, sharded.hits, dev_model, sharded.read_offsets,
+            jnp.asarray(np.asarray(model.npro.c).reshape(-1),
+                        dtype=jnp.float32)[: kcfg.npro_keys()],
         )
         suff_np = {k: fetch64(v) for k, v in suff.items()}
         model.finish_round(suff_np)
         dev_model = to_dev(model.device_arrays())
-        new_theta = fetch64(new_theta)
-        bchg, _ = _bchange(new_theta, theta)
-        theta = new_theta
-        if em_cfg.verbose:
-            print(f"ROUND = {rounds}, bChange = {bchg:.6g}")
+        theta = fetch64(theta_dev)
+        rounds = n_model_rounds
+    else:
+        round_fn = make_sharded_round(
+            mesh, kcfg, M, float(N0), float(spec.probF),
+            sharded.n_reads_dev, with_suff=True,
+        )(refd, sharded.m1, sharded.m2, sharded.hits, dev_model)
+        while rounds < n_model_rounds:
+            rounds += 1
+            log_theta = jnp.asarray(_safe_log_np(theta), dtype=jnp.float32)
+            new_theta, counts, suff = round_fn(
+                log_theta, refd, sharded.m1, sharded.m2, sharded.hits,
+                dev_model
+            )
+            suff_np = {k: fetch64(v) for k, v in suff.items()}
+            model.finish_round(suff_np)
+            dev_model = to_dev(model.device_arrays())
+            new_theta = fetch64(new_theta)
+            bchg, _ = _bchange(new_theta, theta)
+            theta = new_theta
+            if em_cfg.verbose:
+                print(f"ROUND = {rounds}, bChange = {bchg:.6g}")
 
     # conprb freeze under the mesh, unpadded + restitched on host
     lcp_sh, lnp_sh = conprb_fn(refd, sharded.m1, sharded.m2, sharded.hits,

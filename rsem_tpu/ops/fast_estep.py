@@ -420,21 +420,13 @@ def _bucket_denoms(theta: jnp.ndarray, data: FastEStepData):
     return invd, noise, tiles
 
 
-def fast_theta_round(
-    theta: jnp.ndarray, data: FastEStepData, axis_name: Optional[str] = None
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One fixed-conprb EM round; returns (new_theta f32 [M+1], counts).
-
-    With axis_name set (inside shard_map over read shards), the per-shard
-    partial counts and noise mass are psum-merged before the replicated
-    M-step — the TPU-native equivalent of the reference's serial countvs
-    reduction (EM.cpp:385-398).
-
-    counts_m = theta_m * sum_{hits of m} cps / denom(read): theta factors
-    out of the per-transcript sum, so the segment sum runs over static
-    (cps, read-slot) arrays and no per-round array ever needs permuting —
-    the only cross-layout op is the invd gather, scanned chunk-by-chunk so
-    each step reads a VMEM-sized slice of the denominator table."""
+def fast_partial_counts(
+    theta: jnp.ndarray, data: FastEStepData
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """The shard-local part of a fixed-conprb round: (counts_sum [M+1],
+    noise dd pair) BEFORE the M-step — the unit that psums across devices
+    (fast_theta_round) or accumulates across streamed host chunks
+    (run_fast_em_loop_streamed)."""
     invd, noise, _ = _bucket_denoms(theta, data)
     n_chunks = data.cps_c.shape[0]
     rows_pad = n_chunks * RSLICE  # static (array dim, not a leaf)
@@ -452,6 +444,25 @@ def fast_theta_round(
         jnp.zeros_like(theta),  # [M+1]; data.M may be a tracer under jit
         (data.cps_c, data.rloc_c, data.sid_starts_c, invd),
     )
+    return counts_sum, noise
+
+
+def fast_theta_round(
+    theta: jnp.ndarray, data: FastEStepData, axis_name: Optional[str] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One fixed-conprb EM round; returns (new_theta f32 [M+1], counts).
+
+    With axis_name set (inside shard_map over read shards), the per-shard
+    partial counts and noise mass are psum-merged before the replicated
+    M-step — the TPU-native equivalent of the reference's serial countvs
+    reduction (EM.cpp:385-398).
+
+    counts_m = theta_m * sum_{hits of m} cps / denom(read): theta factors
+    out of the per-transcript sum, so the segment sum runs over static
+    (cps, read-slot) arrays and no per-round array ever needs permuting —
+    the only cross-layout op is the invd gather, scanned chunk-by-chunk so
+    each step reads a VMEM-sized slice of the denominator table."""
+    counts_sum, noise = fast_partial_counts(theta, data)
     if axis_name is not None:
         counts_sum = jax.lax.psum(counts_sum, axis_name)
         noise = (jax.lax.psum(noise[0], axis_name),
@@ -504,6 +515,56 @@ def run_fast_em_loop(
 
 
 jit_fast_theta_round = jax.jit(fast_theta_round)
+jit_fast_partial_counts = jax.jit(fast_partial_counts)
+
+
+def run_fast_em_loop_streamed(
+    theta0: np.ndarray,
+    chunks,
+    M: int,
+    n0: float,
+    min_round: int = MIN_ROUND,
+    max_round: int = MAX_ROUND,
+    start_round: int = 0,
+    progress=None,
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Bounded-HBM theta loop: `chunks` is a list of FastEStepData with
+    NUMPY leaves (build_fast_data(..., device_put=False), identical
+    geometry — parallel.fast_sharded.build_fast_data_chunks). Each round
+    streams every chunk host->device and accumulates its partial counts;
+    peak HBM is ONE chunk's layout regardless of dataset size — the TPU
+    analogue of the reference's per-thread bounded-RAM read re-streaming
+    (ReadReader.h:21-116, EM.cpp:135-174). Wall-clock trades against the
+    host link bandwidth; use the resident paths whenever the layout fits.
+
+    Returns (theta f64, counts f64, rounds)."""
+    from ..constants import STOP_CRITERIA, THETA_CUT
+    from ..utils.jaxinit import fetch64
+
+    theta = np.asarray(theta0, dtype=np.float64)
+    counts = np.zeros_like(theta)
+    r = start_round
+    tot = 1
+    while r < min_round or (tot > 0 and r < max_round):
+        acc = np.zeros(M + 1, dtype=np.float64)
+        noise = 0.0
+        th_d = jnp.asarray(theta, dtype=jnp.float32)
+        for ch in chunks:
+            cs, nz = jit_fast_partial_counts(th_d, ch)
+            acc += fetch64(cs)
+            noise += float(fetch64(nz[0])) + float(fetch64(nz[1]))
+        counts = acc * theta
+        counts[0] = noise + n0
+        theta_new = counts / counts.sum()
+        mask = theta >= THETA_CUT
+        change = np.zeros_like(theta)
+        change[mask] = np.abs(theta_new[mask] - theta[mask]) / theta[mask]
+        tot = int((change >= STOP_CRITERIA).sum())
+        theta = theta_new
+        r += 1
+        if progress is not None:
+            progress(r, tot)
+    return theta, counts, r
 
 
 def fast_final_fracs(theta: jnp.ndarray, data: FastEStepData):

@@ -452,11 +452,18 @@ def run_model_loop(
     n_rounds: int,
     n_reads: int,
     M: int,
+    axis_name: Optional[str] = None,
 ):
     """n_rounds fused model-update EM rounds; returns (theta, suff) where
     suff holds the FINAL round's raw sufficient statistics in the full
     reference shapes (the host refits the float64 model from them —
-    engine/em.py)."""
+    engine/em.py).
+
+    With axis_name set (inside shard_map over read shards), the per-shard
+    counts and sufficient statistics psum before the M-step/table finish,
+    so theta and the tables stay replicated — the fused TPU-native form of
+    the reference's per-round fork/join/reduce (EM.cpp:373-404); data.n0
+    must then be the TOTAL N0 (it is added once, after the psum)."""
     pre = PreIdx(flat1=data.flat1, flat2=data.flat2)
     gspan = cfg.gld_ub - cfg.gld_lb
     pro_keys = cfg.pro_keys()
@@ -499,7 +506,10 @@ def run_model_loop(
         frac = w * gather_rows(inv, data.rid)
         frac_noise = w0 * inv
         counts = onehot_scatter(data.sid, frac, M + 1)
-        counts = counts.at[0].add(jnp.sum(frac_noise) + data.n0)
+        counts = counts.at[0].add(jnp.sum(frac_noise))
+        if axis_name is not None:
+            counts = jax.lax.psum(counts, axis_name)
+        counts = counts.at[0].add(data.n0)
         theta_new = counts / jnp.sum(counts)
 
         # ---- sufficient statistics + on-device finish --------------------
@@ -517,6 +527,8 @@ def run_model_loop(
             suff["rspd"] = onehot_scatter(
                 data.rs_b0, frac * data.rs_w0, cfg.B
             ) + onehot_scatter(data.rs_b1, frac * data.rs_w1, cfg.B)
+        if axis_name is not None:
+            suff = {k: jax.lax.psum(v, axis_name) for k, v in suff.items()}
 
         t_new = {
             "log_pro": _finish_profile(suff["pro"]),

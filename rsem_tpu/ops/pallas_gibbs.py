@@ -224,26 +224,44 @@ def build_pallas_gibbs_data(
         )
 
         is_global = (w_hi_t - w_lo_t) >= r_win
+        from .fast_estep import menu_round
+
         for wfull in (False, True):
             tsel = np.flatnonzero(is_global == wfull)
             if len(tsel) == 0:
                 continue
             W = t_pad if wfull else r_win
-            win_lo = w_lo_t[tsel].astype(np.int32)
-            win_cnt = (w_hi_t[tsel] - w_lo_t[tsel] + 1).astype(np.int32)
+            # menu-pad the tile count: grid size (and so the compiled
+            # executable) stays stable across datasets of similar scale,
+            # keeping the persistent compilation cache hot; padding tiles
+            # have zero windows and all-padding slots (no-op sweeps)
+            n_sel = len(tsel)
+            n_menu = menu_round(n_sel)
+            pad_t = n_menu - n_sel
+            win_lo = np.pad(w_lo_t[tsel], (0, pad_t)).astype(np.int32)
+            win_cnt = np.pad(
+                (w_hi_t[tsel] - w_lo_t[tsel] + 1), (0, pad_t)
+            ).astype(np.int32)
+            win_cnt[n_sel:] = 0
             wsc = (
-                np.zeros(len(tsel), np.int32)
+                np.zeros(n_menu, np.int32)
                 if wfull
                 else np.minimum(win_lo, t_pad - W).astype(np.int32)
             )
-            X = len(tsel) * tile_rows
+            X = n_menu * tile_rows
+
+            def sel_pad(a3, fill=0):
+                flat = a3.reshape(n_tiles, -1)[tsel]
+                return np.concatenate(
+                    [flat, np.full((pad_t, flat.shape[1]), fill,
+                                   dtype=flat.dtype)]
+                ).reshape(X, 128)
+
             parts.append(
                 GibbsPart(
-                    sid_t=jnp.asarray(sid_t3[tsel].reshape(X, 128)),
-                    cps_t=jnp.asarray(
-                        cps_m.reshape(n_tiles, -1)[tsel].reshape(X, 128)),
-                    ncs_t=jnp.asarray(
-                        ncs_m.reshape(n_tiles, -1)[tsel].reshape(X, 128)),
+                    sid_t=jnp.asarray(sel_pad(sid_t3, fill=1)),
+                    cps_t=jnp.asarray(sel_pad(cps_m)),
+                    ncs_t=jnp.asarray(sel_pad(ncs_m)),
                     win_lo=jnp.asarray(win_lo),
                     win_cnt=jnp.asarray(win_cnt),
                     wsc=jnp.asarray(wsc),

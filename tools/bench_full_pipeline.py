@@ -42,19 +42,32 @@ def main():
 
     from rsem_tpu.pipeline.calculate_expression import main as calc_main
 
-    t0 = time.time()
     # --no-bam-output: the reference comparator (parse+EM) excludes BAM
     # writeback; the posterior-BAM write was measured separately (72.9s
     # r4 first run, io/bam_writer.py)
-    calc_main(["--alignments", sam, refname, "bench_s", "--time",
-               "--no-bam-output"])
-    total = time.time() - t0
-    timing = {}
-    if os.path.exists("bench_s.time"):
-        for line in open("bench_s.time"):
-            parts = line.split()
-            if len(parts) == 2:
-                timing[parts[0]] = float(parts[1])
+    def run_once():
+        t0 = time.time()
+        calc_main(["--alignments", sam, refname, "bench_s", "--time",
+                   "--no-bam-output"])
+        return round(time.time() - t0, 2)
+
+    def read_stages():
+        # per-stage lines are the '# <name>: <secs> s.' comments
+        # (utils/timing.write_time_file) — r4 parsed the wrong format and
+        # committed an empty stages_sec
+        timing = {}
+        if os.path.exists("bench_s.time"):
+            for line in open("bench_s.time"):
+                if line.startswith("# ") and line.rstrip().endswith(" s."):
+                    name, val = line[2:].rsplit(":", 1)
+                    timing[name.strip()] = float(val.split()[0])
+        return timing
+
+    cold = run_once()
+    stages_cold = read_stages()
+    warm = run_once()
+    total = warm
+    timing = read_stages()
     base = {}
     bl = os.path.join(os.path.dirname(mb.__file__),
                       "baseline_measured.json")
@@ -70,17 +83,21 @@ def main():
         }
     out = {
         "pipeline_total_sec": round(total, 2),
+        "pipeline_cold_sec": cold,
         "stages_sec": timing,
+        "stages_cold_sec": stages_cold,
         "reference": base,
         "vs_ref_parse_plus_em_1t": round(
             base.get("ref_parse_plus_em_1t_sec", 0) / total, 2
         ) if base else None,
         "workload": "1M single-end 100bp qual reads, ~2.5 aln/read, M=20k",
     }
-    path = os.path.join(os.path.dirname(mb.__file__),
-                        "bench_full_pipeline.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+    for d in ("", "artifacts_r5"):
+        p = os.path.join(os.path.dirname(mb.__file__), d,
+                         "bench_full_pipeline.json")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
 
 

@@ -543,6 +543,10 @@ def _run_em_device(model, ref, bundle, em_cfg, need_posteriors) -> EMResult:
     pre_budget = int(_os.environ.get("RSEM_TPU_PREIDX_BUDGET",
                                      6 * 1024**3))
     clock = _PhaseClock()
+    if clock.on:
+        from ..utils.jaxinit import sync as _sync0
+
+        _sync0(m1.codes, hd.sid)
     clock.lap("setup+H2D")
     if preidx_bytes(kcfg, int(hd.rid.shape[0]),
                     int(m1.lens.shape[0])) <= pre_budget:

@@ -31,16 +31,23 @@ def pad_to(x: np.ndarray, n: int, fill=0) -> np.ndarray:
 # host object -> {pad key: device layout}. Repeat passes over the same
 # (immutable by convention) host arrays reuse the device buffers instead
 # of re-paying H2D — at ~40-90 MB/s through the dev host's tunnel the
-# [N, L] read upload alone costs seconds per pass. Entries die with their
-# source object (WeakKeyDictionary).
-_DEV_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+# [N, L] read upload alone costs seconds per pass. Keyed by id() with a
+# weakref finalizer evicting on GC (the dataclass containers define
+# __eq__ and are therefore unhashable, so a WeakKeyDictionary cannot
+# hold them — that bug silently disabled this cache when first written).
+_DEV_CACHE: dict = {}
 
 
 def _dev_cached(obj, key, build):
-    try:
-        entry = _DEV_CACHE.setdefault(obj, {})
-    except TypeError:  # not weak-referenceable
-        return build()
+    k = id(obj)
+    entry = _DEV_CACHE.get(k)
+    if entry is None:
+        try:
+            wr = weakref.ref(obj, lambda _, k=k: _DEV_CACHE.pop(k, None))
+        except TypeError:  # not weak-referenceable
+            return build()
+        entry = {"_wr": wr}
+        _DEV_CACHE[k] = entry
     if key not in entry:
         entry[key] = build()
     return entry[key]
